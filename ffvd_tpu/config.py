@@ -1,0 +1,142 @@
+"""Configuration for the FFVD GPSSM rebuild.
+
+Mirrors the reference's mutable ``Model.ARGS`` bag (models.py:21-41) and the
+case table (FFVD_Main.py:273-324) as frozen dataclasses / plain data.  The two
+CLI quirks called out in SURVEY.md §2.7 are fixed deliberately:
+
+- ``x_dim`` is a real integer flag (reference's ``--x_dims type=list`` was
+  unusable from the CLI, FFVD_Main.py:367).
+- ``posterior_sample_spacing`` defaults to 32 and is honored (the reference
+  silently overrode the flag to 32 at FFVD_Main.py:331).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+PRIOR_TYPES = ("uniform", "normal", "determinantal", "strauss")
+KERNEL_TYPES = ("SquaredExponential", "LinearK")
+
+DATASETS = ("dryer", "drive", "gas_furnace", "actuator", "flutter", "ballbeam")
+# Index order of the reference's --file_index flag (FFVD_Main.py:383).
+FILE_INDEX_ORDER = DATASETS
+
+
+@dataclasses.dataclass(frozen=True)
+class CaseConfig:
+    """One row of the reference's case table (FFVD_Main.py:273-324).
+
+    ``kernel_optimization`` / ``u_optimization`` / ``z_optimization`` mean
+    "this block is Adam-trainable"; when False (and not collapsed) the block is
+    sampled by SG-HMC instead (dgp_model.py:213-243).
+    """
+
+    name: str
+    kernel_optimization: bool
+    u_optimization: bool
+    z_optimization: bool
+    u_collapse: bool
+    x_pg: bool
+
+
+CASE_TABLE = {
+    1: CaseConfig("C1", True, True, True, False, False),
+    2: CaseConfig("C2", False, False, True, False, False),
+    3: CaseConfig("C3", False, False, False, False, False),
+    4: CaseConfig("C4", True, False, True, True, False),
+    5: CaseConfig("C5", False, False, True, True, False),
+    6: CaseConfig("C6", True, True, True, False, True),
+    # C7 is only reachable programmatically in the reference
+    # (dgp_model.py:62,181,215-218): X and U sampled, everything else frozen.
+    7: CaseConfig("C7", False, False, False, False, False),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class FFVDConfig:
+    """Full experiment configuration (reference: argparse FFVD_Main.py:355-379
+    merged with ARGS mutations FFVD_Main.py:236-340)."""
+
+    dataset: str = "ballbeam"
+    case: int = 4
+    num_inducing: int = 100
+    x_dim: int = 4
+    iterations: int = 2000          # outer loop runs 2 * iterations (models.py:142)
+    window_size: int = 64
+    num_posterior_samples: int = 10
+    posterior_sample_spacing: int = 32
+    prior_type: str = "normal"      # CLI default (FFVD_Main.py:378)
+    kernel_type: str = "SquaredExponential"
+    kernel_train_flag: bool = True
+    likelihood_training: bool = True
+    hyperparameter_sampling: bool = False
+    epsilon: float = 0.01           # SGHMC step size (FFVD_Main.py:343)
+    mdecay: float = 0.05            # SGHMC momentum decay (dgp_model.py:161)
+    adam_lr: float = 0.003          # base lr; effective lr = 0.003*0.95^(1/1000)
+    pg_particles: int = 100
+    jitter: float = 1e-5            # Kmm jitter (conditionals_multi_output.py:108)
+    file_id: int = 3                # warm-start file selector (FFVD_Main.py:363)
+    seed: int = 0
+
+    def __post_init__(self):
+        if self.prior_type not in PRIOR_TYPES:
+            raise ValueError(f"invalid prior_type {self.prior_type!r}")
+        if self.kernel_type not in KERNEL_TYPES:
+            raise ValueError(f"invalid kernel_type {self.kernel_type!r}")
+        if self.case not in CASE_TABLE:
+            raise ValueError(f"invalid case {self.case}")
+
+    @property
+    def case_config(self) -> CaseConfig:
+        return CASE_TABLE[self.case]
+
+    @property
+    def total_iterations(self) -> int:
+        """The reference loop runs 2×iterations actual steps (models.py:142)."""
+        return 2 * self.iterations
+
+
+# ---------------------------------------------------------------------------
+# Trainability partition
+# ---------------------------------------------------------------------------
+
+ADAM, SGHMC, FROZEN = "adam", "sghmc", "frozen"
+
+
+@dataclasses.dataclass(frozen=True)
+class Partition:
+    """Label per parameter block: 'adam' | 'sghmc' | 'frozen'.
+
+    Semantics follow dgp_model.py:213-243 + Layer.__init__ (dgp_model.py:45-94)
+    + kernels_multi_output.py:156-161 + likelihoods.py:12-61.
+    """
+
+    x: str
+    u: str
+    z: str
+    kernel: str
+    log_q: str
+    lik: str  # C, d, log_Rchol together
+
+
+def partition_for(cfg: FFVDConfig) -> Partition:
+    cc = cfg.case_config
+    if cfg.case == 7:
+        return Partition(x=SGHMC, u=SGHMC, z=FROZEN, kernel=FROZEN,
+                         log_q=FROZEN, lik=FROZEN)
+
+    x = FROZEN if cc.x_pg else ADAM
+    u = FROZEN if cc.u_collapse else (ADAM if cc.u_optimization else SGHMC)
+    z = ADAM if cc.z_optimization else SGHMC
+    if cc.kernel_optimization:
+        kernel = ADAM
+    else:
+        kernel = SGHMC if cfg.kernel_train_flag else FROZEN
+    if cfg.hyperparameter_sampling:
+        log_q = SGHMC
+        lik = SGHMC
+    else:
+        log_q = ADAM
+        lik = ADAM if cfg.likelihood_training else FROZEN
+    return Partition(x=x, u=u, z=z, kernel=kernel, log_q=log_q, lik=lik)

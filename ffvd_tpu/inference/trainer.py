@@ -1,0 +1,199 @@
+"""The FFVD training protocol, fused into jit/scan.
+
+The reference's hot loop (models.py:142-197, §3.2 of SURVEY.md) runs, per
+outer iteration:
+
+  1. ``sghmc_step``: 1 burn-in + 10×(burn-in + sample) = 21 separate TF1
+     session.run graph executions, each a full nll-gradient evaluation
+     (base_model.py:915-925);
+  2. a snapshot of the SG-HMC variables into a sliding window of 64
+     (base_model.py:927-933);
+  3. (C6) one particle-Gibbs sweep over the latent trajectory;
+  4. ``train_hypers``: one Adam step on the nll with the SG-HMC variables fed
+     from a random window sample — Monte-Carlo-EM style
+     (base_model.py:944-950).
+
+Here the whole outer iteration is ONE pure function; the 21 SG-HMC sub-steps
+are a ``lax.scan`` over a burn/sample flag vector, and whole stretches of
+outer iterations are scanned in a single jit so the TF1 21-executions-per-step
+overhead disappears entirely.  When the case's SG-HMC variable set is empty
+(default C4 — see SURVEY.md §2.2) the sampler phase is statically elided.
+
+Trainability partition and window-feed semantics follow
+dgp_model.py:213-243 and base_model.py:944-950.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ffvd_tpu.config import ADAM, FROZEN, SGHMC, FFVDConfig, partition_for
+from ffvd_tpu.inference.sghmc import SGHMCState, sghmc_init, sghmc_step
+from ffvd_tpu.model.elbo import negative_elbo
+from ffvd_tpu.model.params import GPSSMParams, SSMData
+from ffvd_tpu.ops.kernels import KernelParams
+
+Pytree = Any
+
+
+def label_tree(cfg: FFVDConfig) -> GPSSMParams:
+    """A GPSSMParams-shaped pytree of 'adam'/'sghmc'/'frozen' string labels."""
+    part = partition_for(cfg)
+    return GPSSMParams(
+        x=part.x, u=part.u, z=part.z,
+        kernel=KernelParams(log_variance=part.kernel,
+                            log_lengthscales=part.kernel),
+        log_q=part.log_q, c=part.lik, d=part.lik, log_rchol=part.lik,
+    )
+
+
+def _select(labels: Pytree, a: Pytree, b: Pytree, target: str) -> Pytree:
+    """Per-leaf static select: leaf from ``a`` where label==target else ``b``."""
+    return jax.tree.map(lambda l, x, y: x if l == target else y, labels, a, b)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: GPSSMParams
+    sghmc: SGHMCState
+    adam: Any
+    window: GPSSMParams          # (W, ...) stacked snapshots
+    window_count: jnp.ndarray    # filled slots, int32
+    step: jnp.ndarray            # outer iteration counter, int32
+
+
+class Trainer:
+    """Builds and runs the jit-fused FFVD training protocol for one config."""
+
+    def __init__(self, cfg: FFVDConfig, data: SSMData,
+                 pg_fn: Optional[Callable] = None):
+        self.cfg = cfg
+        self.data = data
+        self.labels = label_tree(cfg)
+        flat_labels = jax.tree.leaves(self.labels)
+        self.has_sghmc = any(l == SGHMC for l in flat_labels)
+        self.has_adam = any(l == ADAM for l in flat_labels)
+        self.pg_fn = pg_fn
+        if cfg.case_config.x_pg and pg_fn is None:
+            raise ValueError("case C6 requires a particle-Gibbs function")
+
+        self.nll_fn = functools.partial(
+            negative_elbo, data=data,
+            kernel_type=cfg.kernel_type, prior_type=cfg.prior_type,
+            u_collapse=cfg.case_config.u_collapse, jitter=cfg.jitter)
+        self.grad_fn = jax.grad(self.nll_fn)
+        self.value_grad_fn = jax.value_and_grad(self.nll_fn)
+
+        # Effective Adam lr: 0.003·0.95^(global_step/1000) evaluated at the
+        # constant global_step=1 the reference always passes
+        # (base_model.py:188-194).
+        self.adam_lr = cfg.adam_lr * 0.95 ** (1.0 / 1000.0)
+        adam_labels = jax.tree.map(
+            lambda l: "adam" if l == ADAM else "freeze", self.labels)
+        self.tx = optax.multi_transform(
+            {"adam": optax.adam(self.adam_lr), "freeze": optax.set_to_zero()},
+            param_labels=adam_labels)
+
+        self._run_chunk = jax.jit(self._run_chunk_impl)
+
+    # -- state ------------------------------------------------------------
+
+    def init_state(self, params: GPSSMParams) -> TrainState:
+        w = self.cfg.window_size
+        window = jax.tree.map(
+            lambda a: jnp.zeros((w,) + a.shape, a.dtype), params)
+        return TrainState(
+            params=params,
+            sghmc=sghmc_init(params),
+            adam=self.tx.init(params),
+            window=window,
+            window_count=jnp.zeros((), jnp.int32),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # -- one outer iteration ----------------------------------------------
+
+    def _sghmc_phase(self, params, sstate, key):
+        """21 sub-steps: B, (B,S)×10 (base_model.py:915-925)."""
+        x_n = params.x.shape[0]
+        flags = jnp.asarray([True] + [True, False] * 10)
+        keys = jax.random.split(key, flags.shape[0])
+
+        def body(carry, inp):
+            flag, k = inp
+            p, s = carry
+            grads = self.grad_fn(p)
+            p2, s2 = sghmc_step(
+                p, grads, s, k, epsilon=self.cfg.epsilon,
+                mdecay=self.cfg.mdecay, x_n=x_n, burn_in=flag)
+            p2 = _select(self.labels, p2, p, SGHMC)
+            return (p2, s2), None
+
+        (params, sstate), _ = jax.lax.scan(body, (params, sstate),
+                                           (flags, keys))
+        return params, sstate
+
+    def outer_step(self, state: TrainState,
+                   key: jax.Array) -> Tuple[TrainState, jnp.ndarray]:
+        k_sghmc, k_feed, k_pg = jax.random.split(key, 3)
+        params, sstate = state.params, state.sghmc
+
+        if self.has_sghmc:
+            params, sstate = self._sghmc_phase(params, sstate, k_sghmc)
+            # Window snapshot (base_model.py:927-933) as a ring buffer.
+            idx = state.step % self.cfg.window_size
+            window = jax.tree.map(lambda w, p: w.at[idx].set(p),
+                                  state.window, params)
+            count = jnp.minimum(state.window_count + 1,
+                                self.cfg.window_size)
+        else:
+            window, count = state.window, state.window_count
+
+        if self.pg_fn is not None and self.cfg.case_config.x_pg:
+            params = self.pg_fn(params, k_pg)
+
+        adam_state = state.adam
+        if self.has_adam:
+            if self.has_sghmc:
+                i = jax.random.randint(k_feed, (), 0, jnp.maximum(count, 1))
+                sampled = jax.tree.map(lambda w: w[i], window)
+                feed = _select(self.labels, sampled, params, SGHMC)
+            else:
+                feed = params
+            nll_val, grads = self.value_grad_fn(feed)
+            updates, adam_state = self.tx.update(grads, adam_state, params)
+            params = optax.apply_updates(params, updates)
+        else:
+            nll_val = self.nll_fn(params)
+
+        new_state = TrainState(params=params, sghmc=sstate, adam=adam_state,
+                               window=window, window_count=count,
+                               step=state.step + 1)
+        return new_state, nll_val
+
+    # -- fused multi-iteration run ----------------------------------------
+
+    def _run_chunk_impl(self, state: TrainState, keys: jax.Array):
+        return jax.lax.scan(self.outer_step, state, keys)
+
+    def run(self, state: TrainState, num_iterations: int, key: jax.Array,
+            chunk_size: int = 500):
+        """Run ``num_iterations`` outer iterations (the reference runs
+        2×cfg.iterations, models.py:142).  Returns (state, nll_trace)."""
+        traces = []
+        done = 0
+        while done < num_iterations:
+            n = min(chunk_size, num_iterations - done)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, n)
+            state, nlls = self._run_chunk(state, keys)
+            traces.append(nlls)
+            done += n
+        return state, jnp.concatenate(traces) if traces else jnp.zeros((0,))

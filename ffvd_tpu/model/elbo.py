@@ -1,0 +1,106 @@
+"""The negative free-form ELBO, collapsed and uncollapsed.
+
+Rebuild of the objective assembly in ``DGPSSM.__init__``
+(dgp_model.py:248-297) and ``regularizer`` (dgp_model.py:337-359), as one pure
+jit-able function of the parameter pytree.  Term names match the reference's
+tensors (``nll_log_likelihood``, ``nll_part_prior``, ``x_t_prior_Q``,
+``nll_reg_trace_inverse_Q_B``, ``later_term1``, ``later_term2``) so per-term
+golden values line up (see SURVEY.md §2.3 and the diagnostic decomposition at
+base_model.py:952-989).
+
+Normalization: the reference always runs full batch — ``get_minibatch``
+returns [0, X_N] (base_model.py:188-194) — so batch_size = Y_N = N and the
+collapsed H-matrix scaling /(batch·Q)·Y_N reduces to /Q.  We implement the
+full-batch objective.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from ffvd_tpu.model import conditionals as cond
+from ffvd_tpu.model import priors
+from ffvd_tpu.model.likelihoods import emission_mean
+from ffvd_tpu.model.params import GPSSMParams, SSMData
+from ffvd_tpu.ops.densities import (logdensity_norm_diag,
+                                    logdensity_norm_diag_nonvec)
+
+
+def _gp_inputs(params: GPSSMParams, data: SSMData) -> jnp.ndarray:
+    """x̃_t = concat(x_t, u_t) over the N training transitions
+    (dgp_model.py:267-271 / :339-342)."""
+    n = params.n_transitions
+    x_prev = params.x[:n]
+    if data.control.shape[1] > 0:
+        return jnp.concatenate([x_prev, data.control[:n]], axis=1)
+    return x_prev
+
+
+def elbo_terms(params: GPSSMParams, data: SSMData, *,
+               kernel_type: str = "SquaredExponential",
+               prior_type: str = "normal",
+               u_collapse: bool = True,
+               jitter: float = 1e-5) -> Dict[str, jnp.ndarray]:
+    """All nll terms.  Returns a dict whose 'nll' entry is the objective."""
+    n = params.n_transitions
+    y_n = jnp.asarray(float(n), dtype=params.x.dtype)
+    batch = y_n
+    q = params.q
+
+    # Emission term (dgp_model.py:248-250, :264).
+    y_mean = emission_mean(params.x[1:], params.c, params.d)
+    log_lik = jnp.sum(logdensity_norm_diag(data.y, y_mean, params.rchol_diag))
+    nll_log_likelihood = -log_lik / batch
+
+    # Priors (dgp_model.py:252, :286/:296, :326-334).
+    hyper_prior = priors.hyperparameter_prior(params.log_q, params.c,
+                                              params.d, params.log_rchol)
+    part_prior = (priors.prior_hyper(kernel_type, params.kernel)
+                  + priors.prior_z(prior_type, kernel_type, params.kernel,
+                                   params.z)
+                  + priors.prior_x0(params.x[0])
+                  + hyper_prior)
+
+    xc = _gp_inputs(params, data)
+    pre = cond.kernel_precal(kernel_type, params.kernel, params.z, jitter)
+
+    terms: Dict[str, jnp.ndarray] = {}
+    if u_collapse:
+        term1, term2, trace = cond.collapsed_bound_terms(
+            kernel_type, params.kernel, pre, params.z, params.x, xc, q)
+        later_term1 = term1 / y_n
+        later_term2 = term2 / y_n
+        nll_trace = trace / y_n
+        # Residual random-walk dynamics prior (dgp_model.py:283-284).
+        x_t_prior_q = -jnp.sum(logdensity_norm_diag_nonvec(
+            params.x[1:], params.x[:-1], jnp.sqrt(q))) / batch
+        nll_part_prior = -part_prior / y_n
+        nll = (nll_part_prior + nll_log_likelihood + x_t_prior_q
+               + nll_trace + later_term1 + later_term2)
+        terms.update(later_term1=later_term1, later_term2=later_term2)
+    else:
+        mean, var = cond.whitened_conditional(
+            kernel_type, params.kernel, pre, params.z, params.u, xc)
+        mean = mean + params.x[:n]        # identity mean function (:346)
+        reg_trace = -0.5 * jnp.sum(var / q[None, :], axis=1)
+        reg_x_prior = logdensity_norm_diag(params.x[1:], mean, jnp.sqrt(q))
+        nll_trace = -jnp.sum(reg_trace) / batch
+        x_t_prior_q = -jnp.sum(reg_x_prior) / batch
+        nll_part_prior = -(part_prior + priors.prior_u(params.u)) / y_n
+        nll = nll_part_prior + nll_log_likelihood + x_t_prior_q + nll_trace
+
+    terms.update(
+        nll_log_likelihood=nll_log_likelihood,
+        nll_part_prior=nll_part_prior,
+        x_t_prior_Q=x_t_prior_q,
+        nll_reg_trace_inverse_Q_B=nll_trace,
+        nll=nll,
+    )
+    return terms
+
+
+def negative_elbo(params: GPSSMParams, data: SSMData, **kw) -> jnp.ndarray:
+    """Scalar objective (reference's ``self.nll``, dgp_model.py:288/:297)."""
+    return elbo_terms(params, data, **kw)["nll"]

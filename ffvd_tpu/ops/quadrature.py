@@ -1,0 +1,60 @@
+"""Gauss-Hermite quadrature for Gaussian expectations.
+
+Rebuild of ``vfegpssm/quadrature.py`` (a GPflow copy) with its two latent bugs
+fixed deliberately (SURVEY.md §2.7): no ``collections.Iterable`` import (broken
+on py≥3.10) and no forced float32 cast — dtype follows the inputs.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Callable, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hermgauss(n: int, dtype=np.float64):
+    """Nodes/weights of n-point Gauss-Hermite quadrature (quadrature.py:22-25)."""
+    x, w = np.polynomial.hermite.hermgauss(n)
+    return x.astype(dtype), w.astype(dtype)
+
+
+def mvhermgauss(h: int, dim: int, dtype=np.float64):
+    """Multivariate GH grid: H^dim points over dim dimensions
+    (quadrature.py:28-43)."""
+    gh_x, gh_w = hermgauss(h, dtype)
+    x = np.array(list(itertools.product(*(gh_x,) * dim)))
+    w = np.prod(np.array(list(itertools.product(*(gh_w,) * dim))), axis=1)
+    return x, w
+
+
+def ndiagquad(funcs: Union[Callable, Sequence[Callable]], h: int,
+              fmu, fvar, logspace: bool = False, **ys):
+    """Expectation of f(F) under diagonal Gaussians N(fmu, fvar) via H-point
+    Gauss-Hermite (quadrature.py:92-195 semantics, single-latent case).
+
+    fmu, fvar: arrays of matching shape (N, 1) or (N,).  ``ys`` are extra
+    broadcastable arguments passed to each func.
+    """
+    single = callable(funcs)
+    fns = [funcs] if single else list(funcs)
+    fmu = jnp.asarray(fmu)
+    fvar = jnp.asarray(fvar)
+    gh_x, gh_w = hermgauss(h, np.float64)
+    gh_x = jnp.asarray(gh_x, dtype=fmu.dtype)
+    gh_w = jnp.asarray(gh_w / np.sqrt(np.pi), dtype=fmu.dtype)
+    # X[..., k] = fmu + sqrt(2 fvar) x_k
+    xn = fmu[..., None] + jnp.sqrt(2.0 * jnp.clip(fvar, 0.0)[..., None]) * gh_x
+    ys_b = {k: jnp.asarray(v)[..., None] for k, v in ys.items()}
+
+    results = []
+    for fn in fns:
+        fx = fn(xn, **ys_b)
+        if logspace:
+            res = jax.scipy.special.logsumexp(fx + jnp.log(gh_w), axis=-1)
+        else:
+            res = jnp.sum(fx * gh_w, axis=-1)
+        results.append(res)
+    return results[0] if single else results

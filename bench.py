@@ -1,0 +1,86 @@
+"""Headline benchmark: FFVD training iterations/sec on ballbeam C4 (M=100).
+
+Matches BASELINE.md's primary metric: ELBO iterations/sec and
+time-to-2000-CLI-iterations (= 4000 outer iterations, models.py:142) for the
+default workload (ballbeam, case C4, M=100, D=4).  vs_baseline compares
+against the TF reference measured on this host's CPU
+(tests/golden/baseline_timing.json; 36.1 it/s) — the speed target in
+BASELINE.md is >=20x that wall-clock.
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    fp64 = os.environ.get("FFVD_BENCH_FP64", "0") == "1"
+    if fp64:
+        jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if fp64 else jnp.float32
+
+    from ffvd_tpu.config import FFVDConfig
+    from ffvd_tpu.data import create_dataset, load_warmstart
+    from ffvd_tpu.inference.trainer import Trainer
+    from ffvd_tpu.model.params import SSMData, init_params_from_warmstart
+
+    cfg = FFVDConfig(dataset="ballbeam", case=4)
+    ds = create_dataset(cfg.dataset)
+    ws = load_warmstart(cfg.dataset, cfg.file_id)
+    params = init_params_from_warmstart(ws, dtype=dtype)
+    data = SSMData(y=jnp.asarray(ds.y_train, dtype=dtype),
+                   control=jnp.asarray(ds.control, dtype=dtype))
+    trainer = Trainer(cfg, data)
+    state = trainer.init_state(params)
+    key = jax.random.key(0)
+
+    total = cfg.total_iterations          # 4000 (2000 CLI iterations)
+    chunk = 1000
+
+    # Warm-up: compile the fused chunk and run a few steps.
+    key, kw = jax.random.split(key)
+    state, warm = trainer.run(state, chunk, kw, chunk_size=chunk)
+    jax.block_until_ready(warm)
+
+    t0 = time.time()
+    state, nlls = trainer.run(state, total, key, chunk_size=chunk)
+    jax.block_until_ready(nlls)
+    dt = time.time() - t0
+    iters_per_sec = total / dt
+
+    assert bool(jnp.all(jnp.isfinite(nlls))), "non-finite nll during bench"
+    final_nll = float(nlls[-1])
+
+    baseline_file = Path(__file__).parent / "tests/golden/baseline_timing.json"
+    vs = None
+    if baseline_file.exists():
+        base = json.loads(baseline_file.read_text())
+        vs = iters_per_sec / base["tf_iters_per_sec"]
+
+    out = {
+        "metric": f"ffvd_train_iters_per_sec_ballbeam_c4_{platform}",
+        "value": round(iters_per_sec, 2),
+        "unit": "iters/sec",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+        "extra": {
+            "time_2000_cli_iters_sec": round(dt, 3),
+            "final_nll": round(final_nll, 4),
+            "platform": platform,
+            "dtype": str(dtype.__name__ if hasattr(dtype, "__name__")
+                         else dtype),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

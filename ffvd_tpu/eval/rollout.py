@@ -1,0 +1,173 @@
+"""Posterior collection and free-running rollout prediction.
+
+Rebuild of ``collect_samples_formal`` (base_model.py:197-522).  The reference
+builds a fresh TF graph op per (sample, time-step) — O(num × test_len × D)
+graph nodes executed in one giant session.run (SURVEY.md §3.4).  Here the
+rollout is a ``lax.scan`` over time; posterior samples are ``vmap``-ed when
+they are iid (collapsed/pure-Adam cases) and scanned when they continue an
+SG-HMC chain (thinning steps between samples, base_model.py:227-231).
+
+Per sample (reference semantics):
+  - (if SG-HMC vars exist) run `spacing` sample-only SGHMC updates, then
+    re-cache the Kmm Cholesky (:227-234);
+  - (if U collapsed) compute q(U) = N(H⁻¹a, H⁻¹) from the training
+    trajectory (:242-253);
+  - free-run from the last training state x_N (:237): per step,
+    f ~ q(f|x̃) including q(U) variance, x ← x + f_mu + N(0, f_var + Q)
+    (:296-302), recording x and f_var + Q.
+
+Metrics (base_model.py:340-349, :629):
+  ŷ   = mean_samples(x C) + d,   v̂ = mean_samples(x_var C²) + R
+  RMSE = sqrt(mean((Y_test[:30] − ŷ[:30])²)) · Y_train_std
+  NLL  = −mean log N(y; ŷ, sqrt(v̂)) over the same 30 steps (normalized).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ffvd_tpu.config import FFVDConfig
+from ffvd_tpu.inference.sghmc import sghmc_step
+from ffvd_tpu.inference.trainer import SGHMC, Trainer, TrainState, _select
+from ffvd_tpu.model.conditionals import (collapsed_u_posterior, kernel_precal,
+                                         whitened_conditional)
+from ffvd_tpu.model.likelihoods import emission_mean
+from ffvd_tpu.model.params import GPSSMParams
+
+
+def _rollout_one(kernel_type: str, jitter: float, kparams, z, u_val,
+                 q_sqrt, q, x0, controls, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One free-running trajectory of length T = controls.shape[0].
+
+    x0: (D,), controls: (T, U) — returns (xs (T, D), var_tot (T, D))."""
+    pre = kernel_precal(kernel_type, kparams, z, jitter)
+    t = controls.shape[0]
+    keys = jax.random.split(key, t)
+
+    def step(x_t, inp):
+        k, ctrl = inp
+        xc = jnp.concatenate([x_t, ctrl])[None, :]
+        mu, var = whitened_conditional(kernel_type, kparams, pre, z, u_val,
+                                       xc, q_sqrt=q_sqrt)
+        mean = mu[0] + x_t
+        var_tot = var[0] + q
+        noise = jax.random.normal(k, x_t.shape, x_t.dtype)
+        x_next = mean + noise * jnp.sqrt(var_tot)
+        return x_next, (x_next, var_tot)
+
+    _, (xs, vs) = jax.lax.scan(step, x0, (keys, controls))
+    return xs, vs
+
+
+def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
+                      key: jax.Array, num: Optional[int] = None,
+                      spacing: Optional[int] = None):
+    """Draw `num` posterior predictive trajectories.
+
+    Returns (predict_x (S, T, D), predict_x_var (S, T, D), final_state).
+    T = test_len (reference: prediction_length = test_len + pre_index − 1
+    with pre_index = 1, base_model.py:209-210)."""
+    cfg = trainer.cfg
+    num = num or cfg.num_posterior_samples
+    spacing = spacing or cfg.posterior_sample_spacing
+    n_train = trainer.data.y.shape[0]
+    controls = trainer.data.control[n_train:n_train + test_len]
+    if controls.shape[0] < test_len:  # control shorter than test (shouldn't happen)
+        pad = jnp.zeros((test_len - controls.shape[0], controls.shape[1]),
+                        controls.dtype)
+        controls = jnp.concatenate([controls, pad], axis=0)
+
+    kt, jit_ = cfg.kernel_type, cfg.jitter
+    collapse = cfg.case_config.u_collapse
+
+    def u_and_qsqrt(params: GPSSMParams):
+        if collapse:
+            pre = kernel_precal(kt, params.kernel, params.z, jit_)
+            n = params.n_transitions
+            if controls.shape[1] > 0:
+                xc = jnp.concatenate(
+                    [params.x[:n], trainer.data.control[:n]], axis=1)
+            else:
+                xc = params.x[:n]
+            return collapsed_u_posterior(kt, params.kernel, pre, params.z,
+                                         params.x, xc, params.q)
+        return params.u, None
+
+    @jax.jit
+    def _collect(state: TrainState, key: jax.Array):
+        params = state.params
+        if trainer.has_sghmc:
+            # Sequential chain: thin `spacing` sample-only steps per sample.
+            def per_sample(carry, k):
+                params, sstate = carry
+                k_thin, k_roll = jax.random.split(k)
+                x_n = params.x.shape[0]
+
+                def thin(c, kk):
+                    p, s = c
+                    grads = trainer.grad_fn(p)
+                    p2, s2 = sghmc_step(p, grads, s, kk,
+                                        epsilon=cfg.epsilon,
+                                        mdecay=cfg.mdecay, x_n=x_n,
+                                        burn_in=False)
+                    p2 = _select(trainer.labels, p2, p, SGHMC)
+                    return (p2, s2), None
+
+                (params, sstate), _ = jax.lax.scan(
+                    thin, (params, sstate), jax.random.split(k_thin, spacing))
+                u_val, q_sqrt = u_and_qsqrt(params)
+                xs, vs = _rollout_one(kt, jit_, params.kernel, params.z,
+                                      u_val, q_sqrt, params.q, params.x[-1],
+                                      controls, k_roll)
+                return (params, sstate), (xs, vs)
+
+            (params, sstate), (xs, vs) = jax.lax.scan(
+                per_sample, (params, state.sghmc),
+                jax.random.split(key, num))
+            new_state = dataclasses.replace(state, params=params,
+                                            sghmc=sstate)
+            return xs, vs, new_state
+        else:
+            # iid samples: one U posterior, vmapped rollouts.
+            u_val, q_sqrt = u_and_qsqrt(params)
+            roll = functools.partial(_rollout_one, kt, jit_, params.kernel,
+                                     params.z, u_val, q_sqrt, params.q,
+                                     params.x[-1], controls)
+            xs, vs = jax.vmap(roll)(jax.random.split(key, num))
+            return xs, vs, state
+
+    return _collect(state, key)
+
+
+def predict_summary(params: GPSSMParams, predict_x: jnp.ndarray,
+                    predict_x_var: jnp.ndarray):
+    """ŷ, v̂, and the training fit (base_model.py:334-343)."""
+    c, d = params.c, params.d
+    y_s = predict_x @ c + d                           # (S, T, P)
+    v_s = predict_x_var @ (c * c)                     # (S, T, P)
+    r2 = jnp.exp(2.0 * jnp.diagonal(params.log_rchol))
+    predict_y = jnp.mean(y_s, axis=0)
+    predict_y_var = jnp.mean(v_s, axis=0) + r2
+    fit_y = emission_mean(params.x[1:], c, d)
+    return predict_y, predict_y_var, fit_y
+
+
+def rmse_nll(y_test: jnp.ndarray, predict_y: jnp.ndarray,
+             predict_y_var: jnp.ndarray, y_train_std: float,
+             horizon: int = 30):
+    """RMSE/NLL on the first `horizon` test steps (base_model.py:345-349,
+    :629).  NLL uses the properly normalized Normal logpdf like
+    scipy.stats.norm.logpdf in the reference."""
+    yt = y_test[:horizon].reshape(-1)
+    yp = predict_y[:horizon].reshape(-1)
+    vp = predict_y_var[:horizon].reshape(-1)
+    rmse = jnp.sqrt(jnp.mean((yt - yp) ** 2)) * y_train_std
+    nll = -jnp.mean(-0.5 * jnp.log(2 * math.pi * vp)
+                    - 0.5 * (yt - yp) ** 2 / vp)
+    return rmse, nll

@@ -61,7 +61,7 @@ def projection(kernel_type: str, kparams: KernelParams, pre: Precal,
     Aᵀ is the reference's whitened feature matrix F̃ = K(X̃,Z) Lm⁻ᵀ
     (conditionals_multi_output.py:242)."""
     knm = kops.cross(kernel_type, kparams, xnew, z)          # (D, N, M)
-    return jnp.einsum("dmk,dnk->dmn", pre.lm_inv, knm,
+    return jnp.einsum("dmk,dnk->dmn", pre.lm_inv, knm, precision="highest",
                       preferred_element_type=knm.dtype)       # (D, M, N)
 
 
@@ -93,11 +93,11 @@ def whitened_conditional(
     """
     a = projection(kernel_type, kparams, pre, z, xnew)        # (D, M, N)
     kdiag = kops.diag(kernel_type, kparams, xnew)             # (D, N)
-    mean = jnp.einsum("dmn,md->nd", a, u,
+    mean = jnp.einsum("dmn,md->nd", a, u, precision="highest",
                       preferred_element_type=a.dtype)         # (N, D)
     var = kdiag - jnp.sum(a * a, axis=1)                      # (D, N)
     if q_sqrt is not None:
-        lta = jnp.einsum("dmk,dmn->dkn", q_sqrt, a,
+        lta = jnp.einsum("dmk,dmn->dkn", q_sqrt, a, precision="highest",
                          preferred_element_type=a.dtype)      # Lᵀ A
         var = var + jnp.sum(lta * lta, axis=1)
     return mean, var.T
@@ -132,10 +132,10 @@ def collapsed_bound_terms(
 
     m = z.shape[0]
     eye = jnp.eye(m, dtype=a.dtype)
-    h = (jnp.einsum("dmn,dkn->dmk", a, a,
+    h = (jnp.einsum("dmn,dkn->dmk", a, a, precision="highest",
                     preferred_element_type=a.dtype)
          / q[:, None, None] + eye)                            # (D, M, M)
-    avec = jnp.einsum("dmn,nd->dm", a, dx,
+    avec = jnp.einsum("dmn,nd->dm", a, dx, precision="highest",
                       preferred_element_type=a.dtype) / q[:, None]
 
     chol_h = cholops.psd_cholesky(h)
@@ -166,10 +166,10 @@ def collapsed_u_posterior(
     dx = (x[1:] - x[:-1])
     m = z.shape[0]
     eye = jnp.eye(m, dtype=a.dtype)
-    h = (jnp.einsum("dmn,dkn->dmk", a, a,
+    h = (jnp.einsum("dmn,dkn->dmk", a, a, precision="highest",
                     preferred_element_type=a.dtype)
          / q[:, None, None] + eye)
-    avec = jnp.einsum("dmn,nd->dm", a, dx,
+    avec = jnp.einsum("dmn,nd->dm", a, dx, precision="highest",
                       preferred_element_type=a.dtype) / q[:, None]
     chol_h = cholops.psd_cholesky(h)
     u_mean = cholops.chol_solve(chol_h, avec[:, :, None])[:, :, 0]  # (D, M)

@@ -62,7 +62,7 @@ def _scaled_sq_dist(x: jnp.ndarray, z: Optional[jnp.ndarray],
     else:
         zs = z[None, :, :] / lengthscales[:, None, :]       # (D, M, Din)
         zn = jnp.sum(zs * zs, axis=-1)                      # (D, M)
-    dot = jnp.einsum("dnk,dmk->dnm", xs, zs,
+    dot = jnp.einsum("dnk,dmk->dnm", xs, zs, precision="highest",
                      preferred_element_type=xs.dtype)       # (D, N, M)
     return xn[:, :, None] + zn[:, None, :] - 2.0 * dot
 
@@ -87,12 +87,14 @@ def se_diag(params: KernelParams, x: jnp.ndarray) -> jnp.ndarray:
 
 def linear_gram(params: KernelParams, x: jnp.ndarray) -> jnp.ndarray:
     """σ²_d · X Xᵀ → (D, N, N) (kernels.py:270-276)."""
-    g = jnp.einsum("nk,mk->nm", x, x, preferred_element_type=x.dtype)
+    g = jnp.einsum("nk,mk->nm", x, x, precision="highest",
+                   preferred_element_type=x.dtype)
     return params.variance[:, None, None] * g[None, :, :]
 
 
 def linear_cross(params: KernelParams, x: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
-    g = jnp.einsum("nk,mk->nm", x, z, preferred_element_type=x.dtype)
+    g = jnp.einsum("nk,mk->nm", x, z, precision="highest",
+                   preferred_element_type=x.dtype)
     return params.variance[:, None, None] * g[None, :, :]
 
 

@@ -1,0 +1,5 @@
+from ffvd_tpu.parallel.sharding import (MultiChainTrainer, make_mesh,
+                                        params_pspec, shard_chain_state)
+
+__all__ = ["MultiChainTrainer", "make_mesh", "params_pspec",
+           "shard_chain_state"]

@@ -1,0 +1,147 @@
+"""Multi-device scale-out over a jax.sharding.Mesh.
+
+The reference is strictly single-process/single-device (SURVEY.md §2:
+no distributed machinery at all).  The TPU-native scale-out axes for this
+model family (SURVEY.md §5) are:
+
+- **dp** (chain/data parallel): independent SG-HMC chains / posterior seeds /
+  dataset replicas — embarrassingly parallel, sharded over the mesh's first
+  axis; no cross-device traffic except metric reductions.
+- **ep** (expert parallel): the D *independent* per-latent-dim GPs.  Every
+  (D, M, M) Cholesky, (D, M, N) projection and per-dim reduction shards over
+  'ep'; the only collectives are the Σ_d psum-style reductions XLA inserts
+  for the scalar nll — tiny, and they ride ICI.
+
+Shardings are expressed as input NamedShardings on the chain-stacked
+TrainState; XLA's SPMD partitioner propagates them through the fused
+training-step program (scan over 21 SG-HMC sub-steps + Adam) and inserts the
+collectives.  This is the scaling-book recipe: pick a mesh, annotate inputs,
+let XLA do the rest.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ffvd_tpu.config import FFVDConfig
+from ffvd_tpu.inference.sghmc import SGHMCState
+from ffvd_tpu.inference.trainer import Trainer, TrainState
+from ffvd_tpu.model.params import GPSSMParams, SSMData
+from ffvd_tpu.ops.kernels import KernelParams
+
+
+def make_mesh(n_devices: Optional[int] = None, ep: Optional[int] = None,
+              x_dim: int = 4) -> Mesh:
+    """Build a ('dp', 'ep') mesh.  'ep' (latent-dim sharding) defaults to the
+    largest power-of-two divisor of min(x_dim, n_devices)."""
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if ep is None:
+        ep = 1
+        while ep * 2 <= min(x_dim, n) and n % (ep * 2) == 0:
+            ep *= 2
+    dp = n // ep
+    return Mesh(np.asarray(devices).reshape(dp, ep), ("dp", "ep"))
+
+
+def params_pspec(chain_axis: bool = True) -> GPSSMParams:
+    """PartitionSpec tree for (chain-stacked) GPSSMParams: chains over 'dp',
+    the latent-dim axis over 'ep'."""
+    pre = ("dp",) if chain_axis else ()
+    return GPSSMParams(
+        x=P(*pre, None, "ep"),
+        u=P(*pre, None, "ep"),
+        z=P(*pre),
+        kernel=KernelParams(log_variance=P(*pre, "ep"),
+                            log_lengthscales=P(*pre, "ep")),
+        log_q=P(*pre, "ep"),
+        c=P(*pre, "ep"),
+        d=P(*pre),
+        log_rchol=P(*pre),
+    )
+
+
+def _is_spec(x) -> bool:
+    return isinstance(x, P)
+
+
+def state_pspec(state: TrainState) -> TrainState:
+    """PartitionSpec tree for a chain-stacked TrainState."""
+    pspec = params_pspec()
+    sghmc = SGHMCState(xi=pspec, g=pspec, g2=pspec, p=pspec)
+    window = jax.tree.map(lambda _: P("dp"), state.window)
+    adam = jax.tree.map(lambda a: P("dp") if jnp.ndim(a) >= 1 else P(),
+                        state.adam)
+    return TrainState(params=pspec, sghmc=sghmc, adam=adam, window=window,
+                      window_count=P("dp"), step=P("dp"))
+
+
+def shard_chain_state(state: TrainState, mesh: Mesh) -> TrainState:
+    specs = state_pspec(state)
+    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                             is_leaf=_is_spec)
+    return jax.device_put(state, shardings)
+
+
+class MultiChainTrainer:
+    """Run C independent FFVD chains in one jit over a ('dp','ep') mesh.
+
+    Each chain follows the full single-chain protocol (Trainer.outer_step);
+    chains shard over 'dp' and each chain's D per-dim GPs shard over 'ep'.
+    """
+
+    def __init__(self, cfg: FFVDConfig, data: SSMData, n_chains: int,
+                 mesh: Optional[Mesh] = None, pg_fn=None):
+        self.base = Trainer(cfg, data, pg_fn=pg_fn)
+        self.cfg = cfg
+        self.n_chains = n_chains
+        self.mesh = mesh
+        self._vstep = jax.vmap(self.base.outer_step)
+
+        def run_chunk(state, keys):  # keys: (T, C)
+            return jax.lax.scan(self._vstep, state, keys)
+
+        self._run_chunk = jax.jit(run_chunk)
+
+    def init_state(self, params_stacked: GPSSMParams) -> TrainState:
+        state = jax.vmap(self.base.init_state)(params_stacked)
+        if self.mesh is not None:
+            state = shard_chain_state(state, self.mesh)
+        return state
+
+    def stack_params(self, params: GPSSMParams,
+                     jitter_key: Optional[jax.Array] = None) -> GPSSMParams:
+        """Replicate one warm start across chains (optionally with a small
+        perturbation per chain so chains decorrelate)."""
+        stacked = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (self.n_chains,) + a.shape).copy(),
+            params)
+        if jitter_key is not None:
+            leaves, treedef = jax.tree.flatten(stacked)
+            keys = jax.random.split(jitter_key, len(leaves))
+            leaves = [a + 1e-3 * jax.random.normal(k, a.shape, a.dtype)
+                      for a, k in zip(leaves, keys)]
+            stacked = jax.tree.unflatten(treedef, leaves)
+        return stacked
+
+    def run(self, state: TrainState, num_iterations: int, key: jax.Array,
+            chunk_size: int = 500):
+        traces = []
+        done = 0
+        while done < num_iterations:
+            n = min(chunk_size, num_iterations - done)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, n * self.n_chains)
+            keys = keys.reshape(n, self.n_chains)
+            state, nlls = self._run_chunk(state, keys)
+            traces.append(nlls)
+            done += n
+        return state, (jnp.concatenate(traces) if traces
+                       else jnp.zeros((0, self.n_chains)))

@@ -1,0 +1,112 @@
+"""Run the TF REFERENCE end-to-end (full training + posterior eval) and
+record final RMSE/NLL + wall-clock into tests/golden/tf_reference_e2e.json.
+
+This is the accuracy anchor for BASELINE.md ("RMSE/NLL within 1% of the TF
+reference"): since the reference is non-deterministic (seeds never called,
+SURVEY.md §2.7), parity is judged against these recorded runs statistically.
+
+Usage: python tests/golden/run_tf_reference_e2e.py [dataset] [cli_iters] [case]
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import generate_golden as gg  # installs tfp stub + reference path
+import tensorflow as tf
+
+OUT = Path(__file__).parent / "tf_reference_e2e.json"
+
+
+def run(dataset="ballbeam", cli_iters=2000, case_val=4):
+    from ffvd_tpu.data import create_dataset, list_warmstarts
+    from vfegpssm.dgp_model import DGPSSM
+    from vfegpssm.kernels_multi_output import SquaredExponential
+    from vfegpssm.likelihoods import Gaussian
+
+    tf.compat.v1.reset_default_graph()
+    ds = create_dataset(dataset)
+    ws = dict(np.load(list_warmstarts(dataset)[3], allow_pickle=True))
+    x_dim = ws["qx1_mu_ini"].shape[0]
+    din = ws["Z_val"].shape[1]
+    m = ws["Z_val"].shape[0]
+    control = tf.convert_to_tensor(ds.control, dtype=tf.float64)
+    u_collapse = case_val in (4, 5)
+    kernel_opt = case_val in (1, 4, 6)
+    u_opt = case_val in (1, 6)
+    z_opt = case_val != 3
+
+    kerns = [[SquaredExponential(din, ARD=True, variance=ws["kernel_variance"][k],
+                                 lengthscales=ws["kernel_lengthscales"][k],
+                                 kernel_optimization=kernel_opt)
+              for k in range(x_dim)]]
+    lik = Gaussian(ds.y_train.shape[1], x_dim,
+                   CC=tf.convert_to_tensor(ws["C_val"].T, dtype=tf.float64),
+                   DD=tf.convert_to_tensor(ws["d_val"], dtype=tf.float64),
+                   RR_chol=tf.convert_to_tensor(ws["R_chol_val"], dtype=tf.float64),
+                   likelihood_traning=True)
+    model = DGPSSM(
+        ds.y_train, [x_dim], m, kerns, lik,
+        minibatch_size=ds.y_train.shape[0], window_size=64,
+        prior_type="normal", full_cov=False, QQ_chol=ws["Q_sqrt_ini"],
+        ZZ=tf.convert_to_tensor(ws["Z_val"], dtype=tf.float64),
+        variance=ws["kernel_variance"], lengthscales=ws["kernel_lengthscales"],
+        control_inputs=control, kernel_type="SquaredExponential",
+        kernel_train_flag=True, U_ini=ws["Umu_ini"].T,
+        X_0_ini=ws["qx1_mu_ini"],
+        X_train_ini=np.mean(ws["x_samples_training"], axis=1),
+        X_PG=False, PG_particles=100, hyperparameter_sampling=False,
+        kernel_optimization=kernel_opt, U_optimization=u_opt,
+        U_collapse=u_collapse, Z_optimization=z_opt, case_val=case_val)
+
+    feed = {model.batch_placeholder: [0, model.X_N], model.adam_lr: 0.003}
+    t0 = time.time()
+    total = 2 * cli_iters
+    for i in range(total):
+        model.sghmc_step()
+        model.train_hypers()
+        if (i + 1) % 500 == 0:
+            nll = model.session.run(model.nll, feed_dict=feed)
+            print(f"iter {i+1}/{total} nll={nll:.4f} "
+                  f"({(i+1)/(time.time()-t0):.1f} it/s)", flush=True)
+    train_time = time.time() - t0
+    final_nll = float(model.session.run(model.nll, feed_dict=feed))
+
+    t1 = time.time()
+    model.collect_samples_formal(
+        10, 32, control, test_len=len(ds.y_test),
+        sghmc_var_len=len(model.vars), U_collapse=u_collapse,
+        Y_test=ds.y_test, Y_train_std=ds.y_train_std,
+        save_path_file=str(Path(__file__).parent / f"tf_ref_{dataset}"),
+        Y_train=ds.y_train, case=f"C{case_val}")
+    eval_time = time.time() - t1
+    rmse = float(model.RMSE_val)
+    # NLL like the dead collect_samples_2023 path (base_model.py:629).
+    from scipy.stats import norm
+    yt30 = ds.y_test[:30].reshape(-1)
+    yp30 = model.predict_y[:30]
+    vp30 = model.predict_y_var.reshape(-1)[:30]
+    nll_metric = float(-np.mean(norm.logpdf(yt30, yp30, np.sqrt(vp30))))
+    model.session.close()
+    return {"dataset": dataset, "case": f"C{case_val}",
+            "cli_iters": cli_iters, "train_time_sec": train_time,
+            "eval_time_sec": eval_time, "final_nll": final_nll,
+            "rmse": rmse, "nll_metric": nll_metric}
+
+
+def main():
+    dataset = sys.argv[1] if len(sys.argv) > 1 else "ballbeam"
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+    case = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    rec = run(dataset, iters, case)
+    all_rec = json.loads(OUT.read_text()) if OUT.exists() else {}
+    all_rec[f"{dataset}_C{case}"] = rec
+    OUT.write_text(json.dumps(all_rec, indent=2))
+    print(json.dumps(rec, indent=2))
+
+
+if __name__ == "__main__":
+    main()

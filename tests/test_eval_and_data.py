@@ -1,0 +1,115 @@
+"""Tests for data loaders, warm starts, rollout eval, and results IO."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ffvd_tpu.config import FFVDConfig
+from ffvd_tpu.data import (DATASET_FILES, create_dataset, list_warmstarts,
+                           load_warmstart)
+from ffvd_tpu.eval import (collect_posterior, predict_summary, rmse_nll,
+                           save_results_npz)
+from ffvd_tpu.inference.trainer import Trainer
+from ffvd_tpu.model.params import SSMData, init_params_from_warmstart
+from tests.test_model_props import small_model
+
+# SURVEY.md §6: pinned dataset sizes
+EXPECTED_SIZES = {"ballbeam": 500, "dryer": 500, "flutter": 512,
+                  "actuator": 512, "drive": 250, "gas_furnace": 148}
+
+
+@pytest.mark.parametrize("name", sorted(DATASET_FILES))
+def test_dataset_sizes_and_normalization(name):
+    ds = create_dataset(name)
+    assert ds.n_train == EXPECTED_SIZES[name]
+    assert ds.n_test in (EXPECTED_SIZES[name], EXPECTED_SIZES[name] + 1)
+    # train half is z-normalized by construction
+    np.testing.assert_allclose(ds.y_train.mean(), 0.0, atol=1e-10)
+    np.testing.assert_allclose(ds.y_train.std(), 1.0, rtol=1e-10)
+    # control normalized over the full series
+    np.testing.assert_allclose(ds.control.mean(), 0.0, atol=1e-10)
+    np.testing.assert_allclose(ds.control.std(), 1.0, rtol=1e-10)
+    assert ds.control.shape[0] == ds.n_train + ds.n_test
+
+
+@pytest.mark.parametrize("name", sorted(DATASET_FILES))
+def test_warmstart_schema(name):
+    files = list_warmstarts(name)
+    assert len(files) >= 10
+    assert files == sorted(files)
+    ws = load_warmstart(name, 3)
+    params = init_params_from_warmstart(ws)
+    n = EXPECTED_SIZES[name]
+    assert params.x.shape == (n + 1, 4)
+    assert params.u.shape == (100, 4)
+    assert params.z.shape == (100, 5)
+
+
+def test_rollout_near_deterministic_when_noise_tiny():
+    """With Q→0, U=0 and tiny kernel variance the free-run is ≈ a fixed
+    point of the identity mean function: x stays at x_N."""
+    params, data = small_model(n=10)
+    params = dataclasses.replace(
+        params,
+        u=jnp.zeros_like(params.u),
+        log_q=jnp.full_like(params.log_q, np.log(1e-12)),
+        kernel=dataclasses.replace(params.kernel,
+                                   log_variance=jnp.full_like(
+                                       params.kernel.log_variance,
+                                       np.log(1e-12))))
+    cfg = FFVDConfig(dataset="ballbeam", case=1, num_inducing=6, x_dim=2,
+                     num_posterior_samples=3)
+    tr = Trainer(cfg, data)
+    state = tr.init_state(params)
+    xs, vs, _ = collect_posterior(tr, state, test_len=5, key=jax.random.key(0))
+    assert xs.shape == (3, 5, 2) and vs.shape == (3, 5, 2)
+    expected = np.broadcast_to(np.asarray(params.x[-1]), (3, 5, 2))
+    np.testing.assert_allclose(np.asarray(xs), expected, atol=1e-4)
+
+
+def test_predict_summary_and_metrics():
+    params, data = small_model(n=10)
+    s, t, d = 4, 6, 2
+    xs = jnp.asarray(np.random.RandomState(0).randn(s, t, d))
+    vs = jnp.asarray(np.random.RandomState(1).rand(s, t, d))
+    py, pv, fy = predict_summary(params, xs, vs)
+    c = np.asarray(params.c)
+    expected_y = np.mean(np.asarray(xs) @ c, axis=0) + np.asarray(params.d)
+    np.testing.assert_allclose(np.asarray(py), expected_y, rtol=1e-9)
+    r2 = np.exp(2 * np.asarray(params.log_rchol)[0, 0])
+    expected_v = np.mean(np.asarray(vs) @ (c * c), axis=0) + r2
+    np.testing.assert_allclose(np.asarray(pv), expected_v, rtol=1e-9)
+
+    y_test = jnp.asarray(np.random.RandomState(2).randn(t, 1))
+    rmse, nll = rmse_nll(y_test, py, pv, y_train_std=2.0, horizon=5)
+    from scipy.stats import norm
+    yt = np.asarray(y_test)[:5, 0]
+    yp = np.asarray(py)[:5, 0]
+    vp = np.asarray(pv)[:5, 0]
+    np.testing.assert_allclose(float(rmse),
+                               np.sqrt(np.mean((yt - yp) ** 2)) * 2.0,
+                               rtol=1e-8)
+    np.testing.assert_allclose(float(nll),
+                               -np.mean(norm.logpdf(yt, yp, np.sqrt(vp))),
+                               rtol=1e-8)
+
+
+def test_results_npz_schema(tmp_path):
+    params, data = small_model(n=10)
+    out = save_results_npz(
+        tmp_path / "res.npz", params=params,
+        fit_y=np.zeros(10), predict_y=np.zeros(5), predict_y_var=np.ones(5),
+        y_test=np.zeros((5, 1)), y_train=np.zeros((10, 1)),
+        y_train_std=1.5, case="C4", ll_seq=[1.0, 2.0])
+    with np.load(out, allow_pickle=True) as z:
+        keys = set(z.files)
+    # reference schema, base_model.py:512-517
+    expected = {"y_train_vfe", "y_test_vfe", "v_test_vfe_var", "Y_test_data",
+                "Y_train_data", "Y_train_std", "CC_val", "DD_val",
+                "log_R_cholesky", "log_QQ", "Z_val", "U_val", "X_val",
+                "k_lengthscales", "k_log_variances", "case", "ll_seq",
+                "running_time_seq", "PG_num", "mc_posterior_samples"}
+    assert expected <= keys

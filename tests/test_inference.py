@@ -1,0 +1,217 @@
+"""Tests for SGHMC, the trainer protocol, and particle Gibbs
+(SURVEY.md §4 plan #5: sampler statistical tests + protocol checks)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ffvd_tpu.config import ADAM, CASE_TABLE, FROZEN, SGHMC, FFVDConfig, \
+    partition_for
+from ffvd_tpu.inference.particle_gibbs import make_pg_fn
+from ffvd_tpu.inference.sghmc import sghmc_init, sghmc_step
+from ffvd_tpu.inference.trainer import Trainer, label_tree
+from ffvd_tpu.model.params import SSMData
+from tests.test_model_props import small_model
+
+rng = np.random.RandomState(3)
+
+
+# ---------------------------------------------------------------------------
+# SGHMC
+# ---------------------------------------------------------------------------
+
+def numpy_sghmc_reference(theta, grad, xi, g, g2, p, noise, eps, mdecay, x_n,
+                          burn):
+    """Literal transcription of base_model.py:156-173 for one variable."""
+    r = 1.0 / (xi + 1.0)
+    g_t = (1 - r) * g + r * grad
+    g2_t = (1 - r) * g2 + r * grad ** 2
+    xi_t = 1.0 + xi * (1.0 - g * g / (g2 + 1e-16))
+    minv = 1.0 / (np.sqrt(g2 + 1e-16) + 1e-16)
+    eps_s = eps / np.sqrt(x_n)
+    sigma = np.sqrt(np.maximum(2 * eps_s ** 2 * mdecay * minv, 1e-16))
+    p_t = p - eps ** 2 * minv * grad - mdecay * p + noise * sigma
+    theta_t = theta + p_t
+    if burn:
+        return theta_t, xi_t, g_t, g2_t, p_t
+    return theta_t, xi, g, g2, p_t
+
+
+@pytest.mark.parametrize("burn", [True, False])
+def test_sghmc_step_matches_reference_equations(burn):
+    theta = {"a": jnp.asarray(rng.randn(3))}
+    grads = {"a": jnp.asarray(rng.randn(3))}
+    state = sghmc_init(theta)
+    # randomize the auxiliary state so the update formulas are exercised
+    state = dataclasses.replace(
+        state,
+        xi={"a": jnp.asarray(rng.rand(3) + 0.5)},
+        g={"a": jnp.asarray(rng.randn(3))},
+        g2={"a": jnp.asarray(rng.rand(3) + 0.5)},
+        p={"a": jnp.asarray(rng.randn(3))})
+    key = jax.random.key(0)
+    new_theta, new_state = sghmc_step(theta, grads, state, key,
+                                      epsilon=0.01, mdecay=0.05, x_n=21,
+                                      burn_in=burn)
+    # replicate the noise draw
+    leaves, _ = jax.tree.flatten(theta)
+    k0 = jax.random.split(key, 1)[0]
+    noise = np.asarray(jax.random.normal(k0, (3,), leaves[0].dtype))
+    th, xi, g, g2, p = numpy_sghmc_reference(
+        np.asarray(theta["a"]), np.asarray(grads["a"]),
+        np.asarray(state.xi["a"]), np.asarray(state.g["a"]),
+        np.asarray(state.g2["a"]), np.asarray(state.p["a"]),
+        noise, 0.01, 0.05, 21, burn)
+    np.testing.assert_allclose(np.asarray(new_theta["a"]), th, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(new_state.xi["a"]), xi, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(new_state.g2["a"]), g2, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(new_state.p["a"]), p, rtol=1e-12)
+
+
+def test_sghmc_samples_gaussian_target():
+    """Stationary θ-marginal of the scale-adapted SGHMC on nll = λθ²/2
+    targets exp(−X_N·nll): Var[θ] ≈ 1/(X_N·λ) (continuous-time limit)."""
+    lam = 2.0
+    x_n = 50
+    dim = 512                      # parallel chains for statistics
+    theta = {"t": jnp.zeros(dim)}
+    state = sghmc_init(theta)
+    key = jax.random.key(1)
+
+    @jax.jit
+    def run(theta, state, key):
+        def body(carry, k):
+            th, st, i = carry
+            grads = {"t": lam * th["t"]}
+            th, st = sghmc_step(th, grads, st, k, epsilon=0.01, mdecay=0.05,
+                                x_n=x_n, burn_in=i < 500)
+            return (th, st, i + 1), th["t"]
+
+        keys = jax.random.split(key, 4000)
+        (_, _, _), trace = jax.lax.scan(body, (theta, state, 0), keys)
+        return trace
+
+    trace = np.asarray(run(theta, state, key))[2000:]   # post burn-in
+    var = trace.var()
+    expected = 1.0 / (x_n * lam)
+    assert 0.6 * expected < var < 1.6 * expected, (var, expected)
+
+
+# ---------------------------------------------------------------------------
+# Partition / trainer protocol
+# ---------------------------------------------------------------------------
+
+def test_partition_matches_case_table():
+    """SURVEY.md §2.2 case matrix."""
+    def labels(case):
+        p = partition_for(FFVDConfig(case=case))
+        return (p.kernel, p.u, p.z, p.x)
+
+    assert labels(1) == (ADAM, ADAM, ADAM, ADAM)
+    assert labels(2) == (SGHMC, SGHMC, ADAM, ADAM)
+    assert labels(3) == (SGHMC, SGHMC, SGHMC, ADAM)
+    assert labels(4) == (ADAM, FROZEN, ADAM, ADAM)   # U collapsed
+    assert labels(5) == (SGHMC, FROZEN, ADAM, ADAM)
+    assert labels(6) == (ADAM, ADAM, ADAM, FROZEN)   # X via PG
+    p7 = partition_for(FFVDConfig(case=7))
+    assert (p7.u, p7.x, p7.z, p7.kernel, p7.log_q, p7.lik) == \
+        (SGHMC, SGHMC, FROZEN, FROZEN, FROZEN, FROZEN)
+    ph = partition_for(FFVDConfig(case=2, hyperparameter_sampling=True))
+    assert ph.log_q == SGHMC and ph.lik == SGHMC
+
+
+def _mini_cfg(case, **kw):
+    return FFVDConfig(dataset="ballbeam", case=case, num_inducing=6, x_dim=2,
+                      window_size=8, **kw)
+
+
+def test_trainer_c4_skips_sghmc_and_moves_adam_leaves():
+    params, data = small_model()
+    cfg = _mini_cfg(4)
+    tr = Trainer(cfg, data)
+    assert not tr.has_sghmc and tr.has_adam
+    state = tr.init_state(params)
+    state, nlls = tr.run(state, 5, jax.random.key(0), chunk_size=5)
+    assert int(state.window_count) == 0          # never pushed
+    assert not np.allclose(np.asarray(state.params.x), np.asarray(params.x))
+    # U is collapsed: must not move
+    np.testing.assert_array_equal(np.asarray(state.params.u),
+                                  np.asarray(params.u))
+
+
+def test_trainer_c3_fills_window_and_freezes_adam_free_leaves():
+    params, data = small_model()
+    cfg = _mini_cfg(3)
+    tr = Trainer(cfg, data)
+    assert tr.has_sghmc
+    state = tr.init_state(params)
+    state, nlls = tr.run(state, 10, jax.random.key(0), chunk_size=5)
+    assert int(state.window_count) == 8           # capped at window_size
+    # SGHMC leaves moved
+    assert not np.allclose(np.asarray(state.params.u), np.asarray(params.u))
+    assert not np.allclose(np.asarray(state.params.z), np.asarray(params.z))
+    # Adam leaves moved too (X, log_q, lik)
+    assert not np.allclose(np.asarray(state.params.x), np.asarray(params.x))
+    assert np.isfinite(np.asarray(nlls)).all()
+
+
+def test_trainer_c7_no_adam():
+    params, data = small_model()
+    cfg = _mini_cfg(7)
+    tr = Trainer(cfg, data)
+    assert tr.has_sghmc and not tr.has_adam
+    state = tr.init_state(params)
+    state, nlls = tr.run(state, 3, jax.random.key(0), chunk_size=3)
+    # frozen leaves must not move
+    np.testing.assert_array_equal(np.asarray(state.params.z),
+                                  np.asarray(params.z))
+    np.testing.assert_array_equal(np.asarray(state.params.log_q),
+                                  np.asarray(params.log_q))
+    assert not np.allclose(np.asarray(state.params.u), np.asarray(params.u))
+
+
+# ---------------------------------------------------------------------------
+# Particle Gibbs
+# ---------------------------------------------------------------------------
+
+def test_pg_resamples_trajectory():
+    params, data = small_model()
+    cfg = _mini_cfg(6, pg_particles=16)
+    pg = make_pg_fn(cfg, data)
+    out = pg(params, jax.random.key(5))
+    assert out.x.shape == params.x.shape
+    assert bool(jnp.isfinite(out.x).all())
+    # Unsampled blocks untouched
+    np.testing.assert_array_equal(np.asarray(out.u), np.asarray(params.u))
+
+
+def test_pg_keeps_reference_with_prob_1_over_p():
+    params, data = small_model()
+    cfg = _mini_cfg(6, pg_particles=4)
+    pg = jax.jit(make_pg_fn(cfg, data))
+    kept = 0
+    trials = 200
+    for i in range(trials):
+        out = pg(params, jax.random.key(i))
+        kept += bool(jnp.array_equal(out.x, params.x))
+    frac = kept / trials
+    assert 0.10 < frac < 0.45, frac   # expect ≈ 1/P = 0.25
+
+
+def test_pg_tracks_informative_observations():
+    """With a near-noiseless emission y = x·C, resampled latent states should
+    reproduce the observations much better than prior particles."""
+    params, data = small_model(n=30)
+    # 1-to-1 emission on dim 0, tiny noise
+    params = dataclasses.replace(
+        params, c=jnp.asarray([[1.0], [0.0]]), d=jnp.zeros(1),
+        log_rchol=jnp.asarray([[np.log(0.05)]]))
+    cfg = _mini_cfg(6, pg_particles=64)
+    pg = jax.jit(make_pg_fn(cfg, data))
+    out = pg(params, jax.random.key(2))
+    resid = np.asarray(out.x[1:, 0]) - np.asarray(data.y[:, 0])
+    prior_resid = np.asarray(data.y[:, 0])  # vs zero-mean prior particles
+    assert np.mean(resid[5:] ** 2) < 0.5 * np.mean(prior_resid[5:] ** 2)

@@ -1,0 +1,144 @@
+"""Unit tests for ops: kernels, densities, cholesky, quadrature.
+
+Closed-form / naive-numpy cross-checks (SURVEY.md §4 rebuild test plan #1).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.stats import norm
+
+from ffvd_tpu.ops import (KernelParams, se_gram, se_cross, se_diag,
+                          linear_gram, linear_cross, linear_diag,
+                          logdensity_norm, logdensity_norm_diag,
+                          logdensity_norm_diag_nonvec,
+                          psd_cholesky, chol_solve, chol_logdet)
+from ffvd_tpu.ops.densities import LOG_2PI_HALF
+from ffvd_tpu.ops.quadrature import hermgauss, mvhermgauss, ndiagquad
+
+rng = np.random.RandomState(42)
+
+
+def naive_se(x, z, var, ls):
+    out = np.zeros((x.shape[0], z.shape[0]))
+    for i in range(x.shape[0]):
+        for j in range(z.shape[0]):
+            r2 = np.sum(((x[i] - z[j]) / ls) ** 2)
+            out[i, j] = var * np.exp(-0.5 * r2)
+    return out
+
+
+@pytest.fixture
+def kp():
+    d, din = 3, 5
+    return KernelParams(
+        log_variance=jnp.asarray(np.log(rng.rand(d) + 0.1)),
+        log_lengthscales=jnp.asarray(np.log(rng.rand(d, din) + 0.5)))
+
+
+def test_se_cross_matches_naive(kp):
+    x = rng.randn(7, 5)
+    z = rng.randn(4, 5)
+    k = se_cross(kp, jnp.asarray(x), jnp.asarray(z))
+    for d in range(3):
+        expected = naive_se(x, z, np.exp(kp.log_variance[d]),
+                            np.exp(kp.log_lengthscales[d]))
+        np.testing.assert_allclose(np.asarray(k[d]), expected, rtol=1e-10)
+
+
+def test_se_gram_symmetric_unit_diag(kp):
+    x = rng.randn(6, 5)
+    k = se_gram(kp, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(k), np.asarray(k).transpose(0, 2, 1),
+                               atol=1e-12)
+    for d in range(3):
+        np.testing.assert_allclose(np.diagonal(k[d]),
+                                   np.exp(kp.log_variance[d]), rtol=1e-9)
+    kd = se_diag(kp, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(kd),
+                               np.exp(kp.log_variance)[:, None]
+                               * np.ones((3, 6)), rtol=1e-12)
+
+
+def test_linear_kernel(kp):
+    x = rng.randn(6, 5)
+    z = rng.randn(3, 5)
+    k = linear_cross(kp, jnp.asarray(x), jnp.asarray(z))
+    for d in range(3):
+        np.testing.assert_allclose(
+            np.asarray(k[d]), np.exp(kp.log_variance[d]) * x @ z.T, rtol=1e-10)
+    kd = linear_diag(kp, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(kd[1]),
+                               np.exp(kp.log_variance[1]) * np.sum(x**2, 1),
+                               rtol=1e-10)
+    kg = linear_gram(kp, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(kg[0]),
+                               np.exp(kp.log_variance[0]) * x @ x.T, rtol=1e-10)
+
+
+def test_densities_vs_scipy():
+    y = rng.randn(8, 3)
+    mu = rng.randn(8, 3)
+    sig = rng.rand(3) + 0.3
+    ours = logdensity_norm_diag(jnp.asarray(y), jnp.asarray(mu),
+                                jnp.asarray(sig))
+    # reference-style density omits the 2π constant per dim
+    expected = norm.logpdf(y, mu, sig).sum(axis=1) + 3 * LOG_2PI_HALF
+    np.testing.assert_allclose(np.asarray(ours), expected, rtol=1e-9)
+
+    ours_nv = logdensity_norm_diag_nonvec(jnp.asarray(y), jnp.asarray(mu),
+                                          jnp.asarray(sig))
+    np.testing.assert_allclose(np.asarray(ours_nv).sum(axis=1),
+                               np.asarray(ours), rtol=1e-9)
+
+
+def test_density_full_chol_vs_diag():
+    y = rng.randn(5, 2)
+    mu = rng.randn(5, 2)
+    sig = rng.rand(2) + 0.3
+    full = logdensity_norm(jnp.asarray(y), jnp.asarray(mu),
+                           jnp.asarray(np.diag(sig)))
+    diag = logdensity_norm_diag(jnp.asarray(y), jnp.asarray(mu),
+                                jnp.asarray(sig))
+    np.testing.assert_allclose(np.asarray(full), np.asarray(diag), rtol=1e-9)
+
+
+def test_psd_cholesky_retry():
+    a = rng.randn(4, 4)
+    psd = a @ a.T + 4 * np.eye(4)
+    # batch: one healthy, one slightly indefinite (needs the retry jitter)
+    sick = psd - (np.linalg.eigvalsh(psd)[0] + 1e-6) * np.eye(4)
+    batch = jnp.asarray(np.stack([psd, sick]))
+    chol = psd_cholesky(batch, retry_jitter=1e-2)
+    assert bool(jnp.isfinite(chol).all())
+    np.testing.assert_allclose(np.asarray(chol[0] @ chol[0].T), psd,
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_chol_solve_logdet():
+    a = rng.randn(6, 6)
+    psd = a @ a.T + 6 * np.eye(6)
+    b = rng.randn(6, 2)
+    chol = psd_cholesky(jnp.asarray(psd)[None])[0]
+    x = chol_solve(chol, jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(x), np.linalg.solve(psd, b),
+                               rtol=1e-8)
+    np.testing.assert_allclose(float(chol_logdet(chol)),
+                               np.linalg.slogdet(psd)[1], rtol=1e-10)
+
+
+def test_gauss_hermite_moments():
+    mu, var = 0.7, 1.3
+    e_x = ndiagquad(lambda f: f, 30, jnp.asarray([[mu]]), jnp.asarray([[var]]))
+    e_x2 = ndiagquad(lambda f: f * f, 30, jnp.asarray([[mu]]),
+                     jnp.asarray([[var]]))
+    np.testing.assert_allclose(float(e_x[0, 0]), mu, rtol=1e-10)
+    np.testing.assert_allclose(float(e_x2[0, 0]), var + mu**2, rtol=1e-10)
+
+
+def test_mvhermgauss_shapes():
+    x, w = mvhermgauss(5, 3)
+    assert x.shape == (125, 3) and w.shape == (125,)
+    xs, ws = hermgauss(7)
+    assert xs.shape == (7,) and abs(ws.sum() - np.sqrt(np.pi)) < 1e-10

@@ -1,0 +1,65 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ffvd_tpu.config import FFVDConfig
+from ffvd_tpu.inference.trainer import Trainer
+from ffvd_tpu.parallel import MultiChainTrainer, make_mesh, shard_chain_state
+from tests.test_model_props import small_model
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8, x_dim=4)
+    assert mesh.shape["dp"] * mesh.shape["ep"] == 8
+    assert mesh.shape["ep"] in (1, 2, 4)
+    mesh2 = make_mesh(8, ep=1)
+    assert mesh2.shape == {"dp": 8, "ep": 1}
+
+
+def test_multichain_matches_single_chain():
+    """Two chains given identical params+keys must exactly reproduce the
+    single-chain Trainer — sharding must not change the math."""
+    params, data = small_model()
+    cfg = FFVDConfig(dataset="ballbeam", case=2, num_inducing=6, x_dim=2,
+                     window_size=4)
+    single = Trainer(cfg, data)
+    s_state = single.init_state(params)
+    key = jax.random.key(9)
+    keys = jax.random.split(key, 3)
+    s_state, s_nlls = single._run_chunk(s_state, keys)
+
+    mesh = make_mesh(8, x_dim=2)
+    n_chains = mesh.shape["dp"]                   # chain axis must divide dp
+    mct = MultiChainTrainer(cfg, data, n_chains=n_chains, mesh=mesh)
+    stacked = mct.stack_params(params)           # identical chains
+    m_state = mct.init_state(stacked)
+    chain_keys = jnp.stack([keys] * n_chains, axis=1)  # same keys per chain
+    m_state, m_nlls = mct._run_chunk(m_state, chain_keys)
+
+    np.testing.assert_allclose(np.asarray(m_nlls[:, 0]), np.asarray(s_nlls),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(m_nlls[:, 1]), np.asarray(s_nlls),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(m_state.params.u[0]),
+                               np.asarray(s_state.params.u), rtol=1e-9)
+
+
+def test_sharded_state_is_distributed():
+    params, data = small_model(n=8, m=4, d=2)
+    cfg = FFVDConfig(dataset="ballbeam", case=4, num_inducing=4, x_dim=2,
+                     window_size=2)
+    mesh = make_mesh(8, x_dim=2)
+    mct = MultiChainTrainer(cfg, data, n_chains=mesh.shape["dp"], mesh=mesh)
+    state = mct.init_state(mct.stack_params(params))
+    shards = state.params.x.sharding
+    assert len(shards.device_set) > 1            # actually spread over devices
+    state, nlls = mct.run(state, 2, jax.random.key(0), chunk_size=2)
+    assert np.isfinite(np.asarray(nlls)).all()
+
+
+def test_graft_dryrun():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)

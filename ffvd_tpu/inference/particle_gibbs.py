@@ -29,12 +29,16 @@ from ffvd_tpu.model.params import GPSSMParams, SSMData
 from ffvd_tpu.ops.densities import logdensity_norm_diag
 
 
-def make_pg_fn(cfg: FFVDConfig, data: SSMData) -> Callable:
-    """Returns pg_fn(params, key) -> params with a resampled trajectory."""
+def make_pg_fn(cfg: FFVDConfig, data: SSMData = None) -> Callable:
+    """Returns pg_fn(params, key, data=...) -> params with a resampled
+    trajectory.  ``data`` may be bound at construction or passed per call."""
     kt, jitter = cfg.kernel_type, cfg.jitter
     pp = cfg.pg_particles
+    bound_data = data
 
-    def pg_fn(params: GPSSMParams, key: jax.Array) -> GPSSMParams:
+    def pg_fn(params: GPSSMParams, key: jax.Array,
+              data: SSMData = None) -> GPSSMParams:
+        data = bound_data if data is None else data
         n = params.n_transitions
         d = params.x_dim
         k_init, k_scan, k_choice = jax.random.split(key, 3)

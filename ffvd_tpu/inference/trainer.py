@@ -84,8 +84,10 @@ class Trainer:
         if cfg.case_config.x_pg and pg_fn is None:
             raise ValueError("case C6 requires a particle-Gibbs function")
 
+        # nll(params, data): data stays an explicit argument so stacked
+        # datasets can be vmapped through the same step (BASELINE config 5).
         self.nll_fn = functools.partial(
-            negative_elbo, data=data,
+            negative_elbo,
             kernel_type=cfg.kernel_type, prior_type=cfg.prior_type,
             u_collapse=cfg.case_config.u_collapse, jitter=cfg.jitter)
         self.grad_fn = jax.grad(self.nll_fn)
@@ -120,7 +122,7 @@ class Trainer:
 
     # -- one outer iteration ----------------------------------------------
 
-    def _sghmc_phase(self, params, sstate, key):
+    def _sghmc_phase(self, params, sstate, key, data):
         """21 sub-steps: B, (B,S)×10 (base_model.py:915-925)."""
         x_n = params.x.shape[0]
         flags = jnp.asarray([True] + [True, False] * 10)
@@ -129,7 +131,7 @@ class Trainer:
         def body(carry, inp):
             flag, k = inp
             p, s = carry
-            grads = self.grad_fn(p)
+            grads = self.grad_fn(p, data)
             p2, s2 = sghmc_step(
                 p, grads, s, k, epsilon=self.cfg.epsilon,
                 mdecay=self.cfg.mdecay, x_n=x_n, burn_in=flag)
@@ -140,13 +142,14 @@ class Trainer:
                                            (flags, keys))
         return params, sstate
 
-    def outer_step(self, state: TrainState,
-                   key: jax.Array) -> Tuple[TrainState, jnp.ndarray]:
+    def outer_step(self, state: TrainState, key: jax.Array,
+                   data: SSMData = None) -> Tuple[TrainState, jnp.ndarray]:
+        data = self.data if data is None else data
         k_sghmc, k_feed, k_pg = jax.random.split(key, 3)
         params, sstate = state.params, state.sghmc
 
         if self.has_sghmc:
-            params, sstate = self._sghmc_phase(params, sstate, k_sghmc)
+            params, sstate = self._sghmc_phase(params, sstate, k_sghmc, data)
             # Window snapshot (base_model.py:927-933) as a ring buffer.
             idx = state.step % self.cfg.window_size
             window = jax.tree.map(lambda w, p: w.at[idx].set(p),
@@ -157,7 +160,7 @@ class Trainer:
             window, count = state.window, state.window_count
 
         if self.pg_fn is not None and self.cfg.case_config.x_pg:
-            params = self.pg_fn(params, k_pg)
+            params = self.pg_fn(params, k_pg, data)
 
         adam_state = state.adam
         if self.has_adam:
@@ -167,11 +170,11 @@ class Trainer:
                 feed = _select(self.labels, sampled, params, SGHMC)
             else:
                 feed = params
-            nll_val, grads = self.value_grad_fn(feed)
+            nll_val, grads = self.value_grad_fn(feed, data)
             updates, adam_state = self.tx.update(grads, adam_state, params)
             params = optax.apply_updates(params, updates)
         else:
-            nll_val = self.nll_fn(params)
+            nll_val = self.nll_fn(params, data)
 
         new_state = TrainState(params=params, sghmc=sstate, adam=adam_state,
                                window=window, window_count=count,
@@ -181,7 +184,8 @@ class Trainer:
     # -- fused multi-iteration run ----------------------------------------
 
     def _run_chunk_impl(self, state: TrainState, keys: jax.Array):
-        return jax.lax.scan(self.outer_step, state, keys)
+        return jax.lax.scan(lambda s, k: self.outer_step(s, k, self.data),
+                            state, keys)
 
     def run(self, state: TrainState, num_iterations: int, key: jax.Array,
             chunk_size: int = 500):

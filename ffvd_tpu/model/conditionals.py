@@ -111,6 +111,7 @@ def collapsed_bound_terms(
     x: jnp.ndarray,
     xc: jnp.ndarray,
     q: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """The three collapsed-bound pieces (reference:
     ``collapse_after_kernel_precalculation``, conditionals_multi_output.py:
@@ -125,10 +126,16 @@ def collapsed_bound_terms(
 
     Returned un-normalized (caller divides by Y_N) as nll contributions with
     the reference's signs.  x: (N+1, D) latent states; xc: (N, Din) GP inputs.
+    ``mask`` (N,), optional: zero out padded transitions (multi-dataset
+    padding) in every sum over t.
     """
     a = projection(kernel_type, kparams, pre, z, xc)          # (D, M, N)
     kdiag = kops.diag(kernel_type, kparams, xc)               # (D, N)
     dx = (x[1:] - x[:-1])                                     # (N, D)
+    if mask is not None:
+        a = a * mask[None, None, :]
+        kdiag = kdiag * mask[None, :]
+        dx = dx * mask[:, None]
 
     m = z.shape[0]
     eye = jnp.eye(m, dtype=a.dtype)

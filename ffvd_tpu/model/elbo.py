@@ -11,12 +11,14 @@ base_model.py:952-989).
 Normalization: the reference always runs full batch — ``get_minibatch``
 returns [0, X_N] (base_model.py:188-194) — so batch_size = Y_N = N and the
 collapsed H-matrix scaling /(batch·Q)·Y_N reduces to /Q.  We implement the
-full-batch objective.
+full-batch objective; when ``data.mask`` is set (padded multi-dataset
+training, BASELINE.md config 5) every per-timestep sum is masked and
+normalized by the number of real transitions instead.
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 
@@ -45,13 +47,24 @@ def elbo_terms(params: GPSSMParams, data: SSMData, *,
                jitter: float = 1e-5) -> Dict[str, jnp.ndarray]:
     """All nll terms.  Returns a dict whose 'nll' entry is the objective."""
     n = params.n_transitions
-    y_n = jnp.asarray(float(n), dtype=params.x.dtype)
+    mask = data.mask
+    if mask is None:
+        y_n = jnp.asarray(float(n), dtype=params.x.dtype)
+        msum = jnp.sum            # plain sums
+        row_w = None
+    else:
+        y_n = jnp.sum(mask)
+
+        def msum(rows):           # rows: (N,) or (N, D) — mask leading axis
+            w = mask if rows.ndim == 1 else mask[:, None]
+            return jnp.sum(rows * w)
+        row_w = mask
     batch = y_n
     q = params.q
 
     # Emission term (dgp_model.py:248-250, :264).
     y_mean = emission_mean(params.x[1:], params.c, params.d)
-    log_lik = jnp.sum(logdensity_norm_diag(data.y, y_mean, params.rchol_diag))
+    log_lik = msum(logdensity_norm_diag(data.y, y_mean, params.rchol_diag))
     nll_log_likelihood = -log_lik / batch
 
     # Priors (dgp_model.py:252, :286/:296, :326-334).
@@ -69,12 +82,13 @@ def elbo_terms(params: GPSSMParams, data: SSMData, *,
     terms: Dict[str, jnp.ndarray] = {}
     if u_collapse:
         term1, term2, trace = cond.collapsed_bound_terms(
-            kernel_type, params.kernel, pre, params.z, params.x, xc, q)
+            kernel_type, params.kernel, pre, params.z, params.x, xc, q,
+            mask=row_w)
         later_term1 = term1 / y_n
         later_term2 = term2 / y_n
         nll_trace = trace / y_n
         # Residual random-walk dynamics prior (dgp_model.py:283-284).
-        x_t_prior_q = -jnp.sum(logdensity_norm_diag_nonvec(
+        x_t_prior_q = -msum(logdensity_norm_diag_nonvec(
             params.x[1:], params.x[:-1], jnp.sqrt(q))) / batch
         nll_part_prior = -part_prior / y_n
         nll = (nll_part_prior + nll_log_likelihood + x_t_prior_q
@@ -86,8 +100,8 @@ def elbo_terms(params: GPSSMParams, data: SSMData, *,
         mean = mean + params.x[:n]        # identity mean function (:346)
         reg_trace = -0.5 * jnp.sum(var / q[None, :], axis=1)
         reg_x_prior = logdensity_norm_diag(params.x[1:], mean, jnp.sqrt(q))
-        nll_trace = -jnp.sum(reg_trace) / batch
-        x_t_prior_q = -jnp.sum(reg_x_prior) / batch
+        nll_trace = -msum(reg_trace) / batch
+        x_t_prior_q = -msum(reg_x_prior) / batch
         nll_part_prior = -(part_prior + priors.prior_u(params.u)) / y_n
         nll = nll_part_prior + nll_log_likelihood + x_t_prior_q + nll_trace
 

@@ -63,10 +63,17 @@ class GPSSMParams:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SSMData:
-    """Observed data: y (N, P) and control inputs (N_total, U); U may be 0."""
+    """Observed data: y (N, P) and control inputs (N_total, U); U may be 0.
+
+    ``mask`` (N,), optional: 1.0 for real transitions, 0.0 for padding.  Used
+    when several datasets of different lengths are padded to a common N and
+    trained vmapped in one jit (BASELINE.md config 5); the ELBO then sums and
+    normalizes over real steps only.
+    """
 
     y: jnp.ndarray
     control: jnp.ndarray
+    mask: Optional[jnp.ndarray] = None
 
 
 def init_params_from_warmstart(ws: dict, dtype=jnp.float64) -> GPSSMParams:

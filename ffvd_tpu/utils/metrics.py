@@ -1,0 +1,71 @@
+"""Structured training metrics / ELBO-term diagnostics.
+
+Rebuild of the reference's observability surface (SURVEY.md §5): the
+per-term bound decomposition of ``print_sample_performance``
+(base_model.py:952-989) with the same term names, an iters/sec counter
+(the dead ``running_time_seq`` plumbing, models.py:92,183-197), and an
+optional JSONL sink instead of gated-off TensorBoard summaries
+(models.py:94-131).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+
+from ffvd_tpu.model.elbo import elbo_terms
+
+
+def elbo_report(params, data, *, u_collapse: bool, iteration: int = 0,
+                **elbo_kw) -> Dict[str, float]:
+    """The reference's diagnostic printout as data: every nll term, negated
+    into log-likelihood form like print_sample_performance
+    (base_model.py:959-966)."""
+    terms = elbo_terms(params, data, u_collapse=u_collapse, **elbo_kw)
+    out = {"iter": iteration, "marginal_ll": -float(terms["nll"])}
+    for k, v in terms.items():
+        if k != "nll":
+            out[f"ll_{k}"] = -float(v)
+    return out
+
+
+class MetricsLogger:
+    """Collects per-chunk scalars; optional JSONL file sink."""
+
+    def __init__(self, path: Optional[str] = None,
+                 print_every: Optional[int] = 100):
+        self.path = Path(path) if path else None
+        if self.path:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            self._fh = self.path.open("a")
+        else:
+            self._fh = None
+        self.print_every = print_every
+        self._t0 = time.time()
+        self._last_iter = 0
+        self.history = []
+
+    def log(self, record: Dict) -> None:
+        now = time.time()
+        it = record.get("iter", self._last_iter)
+        if it > self._last_iter:
+            record.setdefault(
+                "iters_per_sec",
+                (it - self._last_iter) / max(now - self._t0, 1e-9))
+        self._t0, self._last_iter = now, it
+        self.history.append(record)
+        if self._fh:
+            self._fh.write(json.dumps(record) + "\n")
+            self._fh.flush()
+        if self.print_every and it % self.print_every == 0:
+            parts = " ".join(f"{k}={v:.4f}" if isinstance(v, float)
+                             else f"{k}={v}" for k, v in record.items())
+            print(f"METRIC {parts}", flush=True)
+
+    def close(self):
+        if self._fh:
+            self._fh.close()

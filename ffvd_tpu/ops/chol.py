@@ -10,21 +10,77 @@ NaNs, the factorization is redone with an escalated jitter, selected with
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 
-def psd_cholesky(mat: jnp.ndarray, retry_jitter: float = 1e-4) -> jnp.ndarray:
-    """Cholesky of a batch of PSD matrices ``(..., M, M)`` with a single
-    escalated-jitter retry (mirrors the intent of the reference's 1e-4
-    fallback, conditionals_multi_output.py:30)."""
-    chol = jnp.linalg.cholesky(mat)
+def _phi(x: jnp.ndarray) -> jnp.ndarray:
+    """tril with halved diagonal — the Φ of the cholesky differential
+    (Murray 2016, arXiv:1602.07527)."""
+    return jnp.tril(x) / (1.0 + jnp.eye(x.shape[-1], dtype=x.dtype))
+
+
+def _psd_cholesky_impl(mat: jnp.ndarray, retry_jitter: float) -> jnp.ndarray:
+    """Factorize with up-to-two escalated-jitter retries.  The retries hide
+    behind lax.cond, so the common path pays exactly ONE factorization."""
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
-    # Per-matrix failure mask: any non-finite entry in that factor.
-    bad = jnp.any(~jnp.isfinite(chol), axis=(-2, -1), keepdims=True)
-    retry = jnp.linalg.cholesky(mat + retry_jitter * eye)
-    return jnp.where(bad, retry, chol)
+
+    def per_bad(c):
+        return jnp.any(~jnp.isfinite(c), axis=(-2, -1), keepdims=True)
+
+    def retry(l):
+        l1 = jnp.where(per_bad(l),
+                       jnp.linalg.cholesky(mat + retry_jitter * eye), l)
+        return jax.lax.cond(
+            jnp.any(~jnp.isfinite(l1)),
+            lambda c: jnp.where(
+                per_bad(c),
+                jnp.linalg.cholesky(mat + 100.0 * retry_jitter * eye), c),
+            lambda c: c, l1)
+
+    l0 = jnp.linalg.cholesky(mat)
+    return jax.lax.cond(jnp.any(~jnp.isfinite(l0)), retry, lambda c: c, l0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def psd_cholesky(mat: jnp.ndarray, retry_jitter: float = 1e-4) -> jnp.ndarray:
+    """Cholesky of a batch of PSD matrices ``(..., M, M)`` with escalated
+    jitter retries (the reference's 1e-4 fallback,
+    conditionals_multi_output.py:30, turned into a real runtime repair).
+
+    Implemented as a custom_vjp: the forward escalates jitter only when a
+    factor comes back non-finite (one factorization in the common path —
+    this op runs twice per training step, on Kmm and on the collapsed H),
+    and the backward applies the standard cholesky pullback
+    Σ̄ = L⁻ᵀ Φ(Lᵀ L̄) L⁻¹ from the saved factor, so no NaN from a failed
+    first attempt can leak into gradients."""
+    return _psd_cholesky_impl(mat, retry_jitter)
+
+
+def _psd_cholesky_fwd(mat, retry_jitter):
+    l = _psd_cholesky_impl(mat, retry_jitter)
+    return l, l
+
+
+def _psd_cholesky_bwd(retry_jitter, l, lbar):
+    ltlbar = jnp.einsum("...ji,...jk->...ik", l, lbar,
+                        precision="highest",
+                        preferred_element_type=l.dtype)
+    p = _phi(ltlbar)
+    # Σ̄ = L⁻ᵀ P L⁻¹ via two triangular solves.
+    tmp = solve_triangular(l, p, lower=True, trans=1)          # L⁻ᵀ P
+    sigma_bar = solve_triangular(
+        l, tmp.swapaxes(-1, -2), lower=True, trans=1).swapaxes(-1, -2)
+    # Match jnp.linalg.cholesky's symmetrized cotangent (identical parameter
+    # grads for any symmetric-constructed input, e.g. our gram + jitter·I).
+    sigma_bar = 0.5 * (sigma_bar + sigma_bar.swapaxes(-1, -2))
+    return (sigma_bar,)
+
+
+psd_cholesky.defvjp(_psd_cholesky_fwd, _psd_cholesky_bwd)
 
 
 def tri_solve(chol: jnp.ndarray, rhs: jnp.ndarray, *, lower: bool = True,

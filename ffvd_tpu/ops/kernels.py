@@ -45,23 +45,35 @@ class KernelParams:
         return jnp.exp(self.log_lengthscales)
 
 
+# Below this input width, pairwise differences beat the norm²−2·dot matmul
+# expansion: the contraction dim is far narrower than the 128-wide MXU, and
+# direct differences have no catastrophic cancellation (all six system-id
+# datasets have Din = x_dim + 1 ≤ 7).
+_DIRECT_DIST_MAX_DIM = 8
+
+
 def _scaled_sq_dist(x: jnp.ndarray, z: Optional[jnp.ndarray],
                     lengthscales: jnp.ndarray) -> jnp.ndarray:
-    """((x - z')/ℓ)² batched over D; mirrors kernels_multi_output.py:163-182.
+    """((x - z')/ℓ)² batched over D; semantics of
+    kernels_multi_output.py:163-182.
 
     x: (N, Din), z: (M, Din) or None, lengthscales: (D, Din) → (D, N, M).
-    The (norm² + norm² - 2·dot) expansion is used on purpose: it turns the
-    distance matrix into one batched matmul (MXU work) plus rank-1 updates,
-    exactly like the reference — and inherits the same tiny-negative values
-    near the diagonal, which the SE kernel tolerates.
+    Small Din: direct squared differences on the VPU (exact, no
+    cancellation).  Large Din: the reference's norm² + norm² − 2·dot
+    expansion, one batched MXU matmul.
     """
     xs = x[None, :, :] / lengthscales[:, None, :]          # (D, N, Din)
-    xn = jnp.sum(xs * xs, axis=-1)                          # (D, N)
     if z is None:
-        zs, zn = xs, xn
+        zs = xs
     else:
         zs = z[None, :, :] / lengthscales[:, None, :]       # (D, M, Din)
-        zn = jnp.sum(zs * zs, axis=-1)                      # (D, M)
+
+    if x.shape[-1] <= _DIRECT_DIST_MAX_DIM:
+        diff = xs[:, :, None, :] - zs[:, None, :, :]        # (D, N, M, Din)
+        return jnp.sum(diff * diff, axis=-1)
+
+    xn = jnp.sum(xs * xs, axis=-1)                          # (D, N)
+    zn = xn if z is None else jnp.sum(zs * zs, axis=-1)     # (D, M)
     dot = jnp.einsum("dnk,dmk->dnm", xs, zs, precision="highest",
                      preferred_element_type=xs.dtype)       # (D, N, M)
     return xn[:, :, None] + zn[:, None, :] - 2.0 * dot

@@ -78,20 +78,29 @@ def stack_datasets(names: Sequence[str], file_id: int = 3, dtype=None,
 
 
 def _resize_inducing(params: GPSSMParams, m: int, seed: int) -> GPSSMParams:
-    """Grow/shrink the inducing set: subsample rows for m<M, tile + jitter
-    for m>M (the reference has no mechanism for this at all)."""
+    """Grow/shrink the inducing set: subsample rows for m<M; for m>M draw the
+    extra points from the latent-trajectory input distribution so Z stays
+    well-separated and Kmm well-conditioned (tiling the warm-start Z would
+    make Kmm numerically singular).  The reference has no resize mechanism."""
     m0 = params.z.shape[0]
+    din = params.z.shape[1]
     rng = np.random.RandomState(seed)
     if m <= m0:
         idx = rng.choice(m0, size=m, replace=False)
         z, u = params.z[idx], params.u[idx]
     else:
-        reps = -(-m // m0)
-        idx = np.tile(np.arange(m0), reps)[:m]
-        z = params.z[idx] + 0.05 * jnp.asarray(
-            rng.randn(m, params.z.shape[1]), params.z.dtype)
-        u = jnp.zeros((m, params.u.shape[1]), params.u.dtype).at[:m0].set(
-            params.u)
+        extra = m - m0
+        x = np.asarray(params.x)
+        # Sample states, append control-range noise for the control dims.
+        rows = x[rng.choice(x.shape[0], size=extra)]
+        ctrl = rng.randn(extra, din - x.shape[1])
+        z_new = np.concatenate([rows, ctrl], axis=1) \
+            + 0.1 * rng.randn(extra, din)
+        z = jnp.concatenate(
+            [params.z, jnp.asarray(z_new, params.z.dtype)], axis=0)
+        u = jnp.concatenate(
+            [params.u,
+             jnp.zeros((extra, params.u.shape[1]), params.u.dtype)], axis=0)
     return dataclasses.replace(params, z=z, u=u)
 
 

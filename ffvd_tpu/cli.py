@@ -69,7 +69,8 @@ def main(argv=None):
                                save_results_npz)
     from ffvd_tpu.inference.trainer import Trainer
     from ffvd_tpu.inference.particle_gibbs import make_pg_fn
-    from ffvd_tpu.model.params import SSMData, init_params_from_warmstart
+    from ffvd_tpu.model.params import (SSMData, adapt_warmstart_xdim,
+                                       init_params_from_warmstart)
 
     dataset = FILE_INDEX_ORDER[args.file_index]
     cfg = FFVDConfig(
@@ -87,6 +88,13 @@ def main(argv=None):
     ds = create_dataset(dataset)
     ws = load_warmstart(dataset, cfg.file_id)
     params = init_params_from_warmstart(ws, dtype=dtype)
+    if cfg.x_dim != params.x_dim:
+        params = adapt_warmstart_xdim(params, cfg.x_dim,
+                                      control_dim=ds.control.shape[1],
+                                      seed=cfg.seed)
+    if cfg.num_inducing != params.z.shape[0]:
+        from ffvd_tpu.parallel.multidataset import _resize_inducing
+        params = _resize_inducing(params, cfg.num_inducing, cfg.seed)
     data = SSMData(y=jnp.asarray(ds.y_train, dtype=dtype),
                    control=jnp.asarray(ds.control, dtype=dtype))
 

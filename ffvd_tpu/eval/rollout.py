@@ -111,7 +111,7 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
 
                 def thin(c, kk):
                     p, s = c
-                    grads = trainer.grad_fn(p)
+                    grads = trainer.grad_fn(p, trainer.data)
                     p2, s2 = sghmc_step(p, grads, s, kk,
                                         epsilon=cfg.epsilon,
                                         mdecay=cfg.mdecay, x_n=x_n,

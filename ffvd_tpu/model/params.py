@@ -106,6 +106,70 @@ def init_params_from_warmstart(ws: dict, dtype=jnp.float64) -> GPSSMParams:
     )
 
 
+def adapt_warmstart_xdim(params: GPSSMParams, x_dim: int,
+                         control_dim: int = 1, seed: int = 0) -> GPSSMParams:
+    """Adapt a warm start (always D=4 in Factnonlin_ini) to another latent
+    dimension (BASELINE config 4: x_dims ∈ {2,4,6}).
+
+    Shrink: keep the leading x_dim latent dims everywhere (and the matching
+    Z / lengthscale columns).  Grow: append fresh dims — zero latent states
+    and inducing outputs, near-zero emission rows, mean kernel
+    hyperparameters, Z columns sampled like the existing ones.  The
+    reference has no such mechanism (its --x_dims flag is unusable,
+    FFVD_Main.py:367).
+    """
+    import dataclasses
+    d0 = params.x.shape[1]
+    if x_dim == d0:
+        return params
+    rng = np.random.RandomState(seed)
+    dt = params.x.dtype
+    if x_dim < d0:
+        keep = np.arange(x_dim)
+        cols = np.concatenate([keep, np.arange(d0, d0 + control_dim)])
+        return GPSSMParams(
+            x=params.x[:, keep],
+            u=params.u[:, keep],
+            z=params.z[:, cols],
+            kernel=KernelParams(
+                log_variance=params.kernel.log_variance[keep],
+                log_lengthscales=params.kernel.log_lengthscales[
+                    np.ix_(keep, cols)]),
+            log_q=params.log_q[keep],
+            c=params.c[keep, :],
+            d=params.d,
+            log_rchol=params.log_rchol)
+    extra = x_dim - d0
+    m = params.z.shape[0]
+    n1 = params.x.shape[0]
+    # new GP-input layout: [old latent dims | new latent dims | control]
+    z_new_cols = jnp.asarray(rng.randn(m, extra), dt)
+    z = jnp.concatenate([params.z[:, :d0], z_new_cols, params.z[:, d0:]],
+                        axis=1)
+    ls = params.kernel.log_lengthscales
+    ls_mean = jnp.mean(ls, axis=(0, 1))
+    ls_old = jnp.concatenate(
+        [ls[:, :d0], jnp.full((d0, extra), ls_mean, dt), ls[:, d0:]], axis=1)
+    ls_new = jnp.full((extra, x_dim + control_dim), ls_mean, dt)
+    return GPSSMParams(
+        x=jnp.concatenate([params.x, jnp.zeros((n1, extra), dt)], axis=1),
+        u=jnp.concatenate([params.u, jnp.zeros((m, extra), dt)], axis=1),
+        z=z,
+        kernel=KernelParams(
+            log_variance=jnp.concatenate(
+                [params.kernel.log_variance,
+                 jnp.full((extra,), jnp.mean(params.kernel.log_variance),
+                          dt)]),
+            log_lengthscales=jnp.concatenate([ls_old, ls_new], axis=0)),
+        log_q=jnp.concatenate(
+            [params.log_q, jnp.full((extra,), jnp.log(0.1), dt)]),
+        c=jnp.concatenate(
+            [params.c, 1e-3 * jnp.asarray(rng.randn(extra, params.c.shape[1]),
+                                          dt)], axis=0),
+        d=params.d,
+        log_rchol=params.log_rchol)
+
+
 def init_params_random(key: jax.Array, n: int, x_dim: int, m: int,
                        control_dim: int, p: int = 1,
                        dtype=jnp.float64) -> GPSSMParams:

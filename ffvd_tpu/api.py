@@ -1,0 +1,134 @@
+"""High-level model API — the rebuild of ``vfegpssm/models.py``.
+
+The reference exposes ``RegressionModel(prior_type).fit(Y_train, ...)``
+(models.py:315-322) plus ``predict`` / ``calculate_density`` / ``sample``
+(models.py:324-337 — all dead upstream: they call the removed ``predict_y``,
+SURVEY.md §2.7).  Here the same surface exists and *works*: fit runs the
+fused trainer, and the predictive methods ride the posterior rollout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ffvd_tpu.config import FFVDConfig
+from ffvd_tpu.data import create_dataset, load_warmstart
+from ffvd_tpu.eval import collect_posterior, predict_summary, rmse_nll
+from ffvd_tpu.eval.results import save_results_npz
+from ffvd_tpu.inference.particle_gibbs import make_pg_fn
+from ffvd_tpu.inference.trainer import Trainer
+from ffvd_tpu.model.params import (GPSSMParams, SSMData, adapt_warmstart_xdim,
+                                   init_params_from_warmstart)
+
+
+class FFVDModel:
+    """Config → data → warm start → fused trainer → posterior predictions."""
+
+    def __init__(self, cfg: FFVDConfig, dtype=None):
+        self.cfg = cfg
+        if dtype is None:
+            dtype = (jnp.float64 if jax.config.jax_enable_x64
+                     else jnp.float32)
+        self.dtype = dtype
+        self.dataset = create_dataset(cfg.dataset)
+        ws = load_warmstart(cfg.dataset, cfg.file_id)
+        params = init_params_from_warmstart(ws, dtype=dtype)
+        if cfg.x_dim != params.x_dim:
+            params = adapt_warmstart_xdim(
+                params, cfg.x_dim,
+                control_dim=self.dataset.control.shape[1], seed=cfg.seed)
+        if cfg.num_inducing != params.z.shape[0]:
+            from ffvd_tpu.parallel.multidataset import _resize_inducing
+            params = _resize_inducing(params, cfg.num_inducing, cfg.seed)
+        self.data = SSMData(
+            y=jnp.asarray(self.dataset.y_train, dtype=dtype),
+            control=jnp.asarray(self.dataset.control, dtype=dtype))
+        pg_fn = make_pg_fn(cfg) if cfg.case_config.x_pg else None
+        self.trainer = Trainer(cfg, self.data, pg_fn=pg_fn)
+        self.state = self.trainer.init_state(params)
+        self.key = jax.random.key(cfg.seed)
+        self.nll_trace = jnp.zeros((0,), dtype)
+
+    @property
+    def params(self) -> GPSSMParams:
+        return self.state.params
+
+    def fit(self, num_iterations: Optional[int] = None,
+            chunk_size: int = 500) -> "FFVDModel":
+        n = num_iterations or self.cfg.total_iterations
+        self.key, sub = jax.random.split(self.key)
+        self.state, nlls = self.trainer.run(self.state, n, sub,
+                                            chunk_size=chunk_size)
+        self.nll_trace = jnp.concatenate([self.nll_trace, nlls])
+        return self
+
+    def predict(self, test_len: Optional[int] = None,
+                num_samples: Optional[int] = None):
+        """Posterior-mean free-run prediction: (ŷ (T,P), v̂ (T,P))."""
+        test_len = test_len or self.dataset.n_test
+        self.key, sub = jax.random.split(self.key)
+        xs, vs, self.state = collect_posterior(
+            self.trainer, self.state, test_len, sub, num=num_samples)
+        self._last_rollout = (xs, vs)
+        py, pv, fy = predict_summary(self.params, xs, vs)
+        self._last_fit_y = fy
+        return py, pv
+
+    def evaluate(self, horizon: int = 30) -> dict:
+        """Train-free-run eval: RMSE/NLL on the first `horizon` test steps
+        (base_model.py:345-349, :629)."""
+        py, pv = self.predict()
+        rmse, nll = rmse_nll(
+            jnp.asarray(self.dataset.y_test, self.dtype), py, pv,
+            self.dataset.y_train_std, horizon=horizon)
+        return {"rmse": float(rmse), "nll": float(nll),
+                "predict_y": np.asarray(py), "predict_y_var": np.asarray(pv)}
+
+    def calculate_density(self, y: np.ndarray, ystd: float = 1.0):
+        """Log predictive density of held-out observations under the
+        free-run predictive (working version of models.py:330-333)."""
+        py, pv = self.predict(test_len=len(y))
+        yv = jnp.asarray(y, self.dtype).reshape(py.shape) * ystd
+        mu = py * ystd
+        var = pv * (ystd ** 2)
+        return np.asarray(-0.5 * jnp.log(2 * math.pi * var)
+                          - 0.5 * (yv - mu) ** 2 / var)
+
+    def sample(self, test_len: Optional[int] = None, s: int = 1):
+        """Draw S free-run observation trajectories
+        (working version of models.py:335-337)."""
+        test_len = test_len or self.dataset.n_test
+        self.key, sub = jax.random.split(self.key)
+        xs, vs, self.state = collect_posterior(
+            self.trainer, self.state, test_len, sub, num=s)
+        ys = xs @ self.params.c + self.params.d
+        r = jnp.exp(jnp.diagonal(self.params.log_rchol))
+        self.key, sub = jax.random.split(self.key)
+        noise = jax.random.normal(sub, ys.shape, ys.dtype) * r
+        return np.asarray(ys + noise)
+
+    def save_results(self, path, case: Optional[str] = None):
+        py, pv = self.predict()
+        return save_results_npz(
+            path, params=self.params, fit_y=self._last_fit_y,
+            predict_y=py, predict_y_var=pv,
+            y_test=self.dataset.y_test, y_train=self.dataset.y_train,
+            y_train_std=self.dataset.y_train_std,
+            case=case or self.cfg.case_config.name,
+            ll_seq=(-np.asarray(self.nll_trace)).tolist() or [0.0],
+            pg_num=self.cfg.pg_particles)
+
+
+class RegressionModel(FFVDModel):
+    """Reference-shaped constructor: ``RegressionModel(prior_type)``
+    (models.py:315-317) + keyword configuration at fit time."""
+
+    def __init__(self, prior_type: str = "normal", **cfg_kw):
+        cfg = FFVDConfig(prior_type=prior_type, **cfg_kw)
+        super().__init__(cfg)

@@ -45,12 +45,14 @@ class Precal:
 
 def kernel_precal(kernel_type: str, kparams: KernelParams, z: jnp.ndarray,
                   jitter: float = 1e-5) -> Precal:
-    """Factorize Kmm = K(Z,Z) + jitter·I for all D dims at once."""
+    """Factorize Kmm = K(Z,Z) + jitter·I for all D dims at once.
+
+    Uses the fused chol_and_inv custom op: its backward is matmul-only, so
+    no (slow, sequential) TPU triangular solve appears in the gradient."""
     kmm = kops.gram(kernel_type, kparams, z)
     m = z.shape[0]
     eye = jnp.eye(m, dtype=kmm.dtype)
-    lm = cholops.psd_cholesky(kmm + jitter * eye)
-    lm_inv = cholops.tri_solve(lm, jnp.broadcast_to(eye, lm.shape), lower=True)
+    lm, lm_inv = cholops.chol_and_inv(kmm + jitter * eye)
     return Precal(lm=lm, lm_inv=lm_inv)
 
 
@@ -145,10 +147,12 @@ def collapsed_bound_terms(
     avec = jnp.einsum("dmn,nd->dm", a, dx, precision="highest",
                       preferred_element_type=a.dtype) / q[:, None]
 
-    chol_h = cholops.psd_cholesky(h)
+    chol_h, hinv_l = cholops.chol_and_inv(h)
     term1 = 0.5 * jnp.sum(cholops.chol_logdet(chol_h))
-    sol = cholops.chol_solve(chol_h, avec[:, :, None])[:, :, 0]
-    term2 = -0.5 * jnp.sum(avec * sol)
+    # aᵀH⁻¹a = ‖L_H⁻¹ a‖² — a matmul against the explicit inverse factor.
+    v = jnp.einsum("dmk,dk->dm", hinv_l, avec, precision="highest",
+                   preferred_element_type=avec.dtype)
+    term2 = -0.5 * jnp.sum(v * v)
     trace = 0.5 * jnp.sum((kdiag - jnp.sum(a * a, axis=1)) / q[:, None])
     return term1, term2, trace
 
@@ -178,9 +182,11 @@ def collapsed_u_posterior(
          / q[:, None, None] + eye)
     avec = jnp.einsum("dmn,nd->dm", a, dx, precision="highest",
                       preferred_element_type=a.dtype) / q[:, None]
-    chol_h = cholops.psd_cholesky(h)
-    u_mean = cholops.chol_solve(chol_h, avec[:, :, None])[:, :, 0]  # (D, M)
-    # chol(H)⁻ᵀ, computed as solve(Lᵀ, I) — upper triangular.
-    q_sqrt = cholops.tri_solve(chol_h, jnp.broadcast_to(eye, chol_h.shape),
-                               lower=True, trans=True)
+    _, hinv_l = cholops.chol_and_inv(h)
+    # H⁻¹a = L⁻ᵀ (L⁻¹ a); q_sqrt = chol(H)⁻ᵀ = (L⁻¹)ᵀ (upper triangular).
+    v = jnp.einsum("dmk,dk->dm", hinv_l, avec, precision="highest",
+                   preferred_element_type=avec.dtype)
+    u_mean = jnp.einsum("dmk,dm->dk", hinv_l, v, precision="highest",
+                        preferred_element_type=avec.dtype)
+    q_sqrt = hinv_l.swapaxes(-1, -2)
     return u_mean.T, q_sqrt

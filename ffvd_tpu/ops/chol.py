@@ -83,6 +83,60 @@ def _psd_cholesky_bwd(retry_jitter, l, lbar):
 psd_cholesky.defvjp(_psd_cholesky_fwd, _psd_cholesky_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused Cholesky + triangular inverse
+# ---------------------------------------------------------------------------
+#
+# XLA's TPU triangular_solve is a sequential expander with a large fixed cost
+# (~0.3-0.5 ms for (4, M, M) regardless of M in our range) while its Cholesky
+# and matmuls are fast.  A training step needs Lm⁻¹ anyway (the projection is
+# a matmul against it), so we fuse chol+inverse into one custom op whose
+# BACKWARD is pure matmuls — no triangular solve appears anywhere in the
+# gradient path:
+#
+#   d(L⁻¹) = −L⁻¹ dL L⁻¹         ⇒  L̄_eff = L̄ − L⁻ᵀ (L⁻¹)‾ L⁻ᵀ
+#   Σ̄ = L⁻ᵀ Φ(Lᵀ L̄_eff) L⁻¹      (all with the saved explicit L⁻¹)
+#
+# Φ(LᵀX) reads only tril(X), so upper-triangle cotangent junk is ignored
+# exactly as in jnp.linalg.cholesky's own rule.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def chol_and_inv(mat: jnp.ndarray, retry_jitter: float = 1e-4):
+    """(L, L⁻¹) of a batch of PSD matrices with jitter-escalating retries.
+    One factorization + one triangular inversion forward; matmul-only
+    backward."""
+    l = _psd_cholesky_impl(mat, retry_jitter)
+    eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
+    l_inv = solve_triangular(l, jnp.broadcast_to(eye, l.shape), lower=True)
+    return l, l_inv
+
+
+def _chol_and_inv_fwd(mat, retry_jitter):
+    out = chol_and_inv(mat, retry_jitter)
+    return out, out
+
+
+def _mm(a, b):
+    return jnp.einsum("...ij,...jk->...ik", a, b, precision="highest",
+                      preferred_element_type=a.dtype)
+
+
+def _chol_and_inv_bwd(retry_jitter, res, cots):
+    l, l_inv = res
+    lbar, linvbar = cots
+    l_invT = l_inv.swapaxes(-1, -2)
+    lbar_eff = lbar - _mm(_mm(l_invT, linvbar), l_invT)
+    p = _phi(jnp.einsum("...ji,...jk->...ik", l, lbar_eff,
+                        precision="highest",
+                        preferred_element_type=l.dtype))
+    sigma_bar = _mm(_mm(l_invT, p), l_inv)
+    sigma_bar = 0.5 * (sigma_bar + sigma_bar.swapaxes(-1, -2))
+    return (sigma_bar,)
+
+
+chol_and_inv.defvjp(_chol_and_inv_fwd, _chol_and_inv_bwd)
+
+
 def tri_solve(chol: jnp.ndarray, rhs: jnp.ndarray, *, lower: bool = True,
               trans: bool = False) -> jnp.ndarray:
     """Batched triangular solve; thin wrapper so call sites read like the

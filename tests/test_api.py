@@ -1,0 +1,26 @@
+"""High-level API surface tests (reference models.py parity —
+RegressionModel.fit/predict/calculate_density/sample, all of which are dead
+code upstream and WORK here)."""
+
+import numpy as np
+
+from ffvd_tpu.api import RegressionModel
+
+
+def test_regression_model_full_surface(tmp_path):
+    m = RegressionModel("normal", dataset="ballbeam", case=4)
+    m.fit(num_iterations=60, chunk_size=60)
+    assert m.nll_trace.shape == (60,)
+    py, pv = m.predict(test_len=15, num_samples=3)
+    assert py.shape == (15, 1) and pv.shape == (15, 1)
+    assert np.isfinite(np.asarray(py)).all() and (np.asarray(pv) > 0).all()
+
+    s = m.sample(test_len=10, s=2)
+    assert s.shape == (2, 10, 1) and np.isfinite(s).all()
+
+    dens = m.calculate_density(m.dataset.y_test[:10])
+    assert dens.shape == (10, 1) and np.isfinite(dens).all()
+
+    out = m.save_results(tmp_path / "res.npz")
+    with np.load(out, allow_pickle=True) as z:
+        assert "y_test_vfe" in z.files and "ll_seq" in z.files

@@ -142,3 +142,41 @@ def test_mvhermgauss_shapes():
     assert x.shape == (125, 3) and w.shape == (125,)
     xs, ws = hermgauss(7)
     assert xs.shape == (7,) and abs(ws.sum() - np.sqrt(np.pi)) < 1e-10
+
+
+def test_chol_and_inv_matches_builtin_grads():
+    from ffvd_tpu.ops.chol import chol_and_inv
+    a = rng.randn(3, 7, 7)
+    psd = jnp.asarray(np.einsum('bij,bkj->bik', a, a) + 7 * np.eye(7))
+    w1 = jnp.asarray(rng.randn(3, 7, 7))
+    w2 = jnp.asarray(rng.randn(3, 7, 7))
+
+    def f_custom(m):
+        l, linv = chol_and_inv(m)
+        return jnp.sum(jnp.sin(l) * w1) + jnp.sum(jnp.cos(linv) * w2)
+
+    def f_builtin(m):
+        l = jnp.linalg.cholesky(m)
+        linv = jax.scipy.linalg.solve_triangular(
+            l, jnp.broadcast_to(jnp.eye(7, dtype=m.dtype), l.shape),
+            lower=True)
+        return jnp.sum(jnp.sin(l) * w1) + jnp.sum(jnp.cos(linv) * w2)
+
+    np.testing.assert_allclose(float(f_custom(psd)), float(f_builtin(psd)),
+                               rtol=1e-12)
+    g1 = jax.grad(f_custom)(psd)
+    g2 = jax.grad(f_builtin)(psd)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-8,
+                               atol=1e-10)
+
+
+def test_chol_and_inv_retry_path():
+    from ffvd_tpu.ops.chol import chol_and_inv
+    a = rng.randn(5, 5)
+    psd = a @ a.T + 5 * np.eye(5)
+    sick = psd - (np.linalg.eigvalsh(psd)[0] + 1e-9) * np.eye(5)
+    l, linv = chol_and_inv(jnp.asarray(sick)[None], 1e-2)
+    assert bool(jnp.isfinite(l).all()) and bool(jnp.isfinite(linv).all())
+    g = jax.grad(lambda m: jnp.sum(chol_and_inv(m, 1e-2)[1]))(
+        jnp.asarray(sick)[None])
+    assert bool(jnp.isfinite(g).all())

@@ -39,6 +39,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--prior_type",
                    choices=["determinantal", "normal", "strauss", "uniform"],
                    default="normal")
+    p.add_argument("--hyperparameter_sampling", action="store_true",
+                   help="push log_Q, C, d, log_Rchol into the SG-HMC set "
+                        "(dgp_model.py:241-243; off by default like "
+                        "FFVD_Main.py:271)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", choices=["cpu", "tpu", "default"],
                    default="default")
@@ -80,6 +84,7 @@ def main(argv=None):
         posterior_sample_spacing=args.posterior_sample_spacing,
         prior_type=args.prior_type, kernel_type=args.kernel_type,
         kernel_train_flag=args.kernel_train_flag, file_id=args.file_id,
+        hyperparameter_sampling=args.hyperparameter_sampling,
         pg_particles=100, seed=args.seed)
 
     print(f"#### {dataset} | case C{cfg.case} | {platform} {precision} ####")

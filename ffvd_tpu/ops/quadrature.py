@@ -30,6 +30,43 @@ def mvhermgauss(h: int, dim: int, dtype=np.float64):
     return x, w
 
 
+def mvnquad(func: Callable, means, covs, h: int, din: int):
+    """Multivariate Gaussian expectation by full Gauss-Hermite grid
+    (quadrature.py:46-89 semantics).  means (N, Din), covs (N, Din, Din)."""
+    xn, wn = mvhermgauss(h, din)
+    chols = jnp.linalg.cholesky(covs)                      # (N, Din, Din)
+    # X[n, k, :] = mean_n + sqrt(2) L_n x_k
+    pts = means[:, None, :] + jnp.sqrt(2.0) * jnp.einsum(
+        "nij,kj->nki", chols, jnp.asarray(xn, means.dtype))
+    fx = func(pts)                                          # (N, K, ...)
+    w = jnp.asarray(wn, means.dtype) * (jnp.pi ** (-0.5 * din))
+    return jnp.tensordot(fx, w, axes=[[1], [0]]) if fx.ndim > 2 else fx @ w
+
+
+def ndiag_mc(funcs: Union[Callable, Sequence[Callable]], s: int, fmu, fvar,
+             key, logspace: bool = False, epsilon=None, **ys):
+    """Monte-Carlo counterpart of ndiagquad (quadrature.py:198-241):
+    S-sample Gaussian expectation over diagonal N(fmu, fvar)."""
+    import jax
+    single = callable(funcs)
+    fns = [funcs] if single else list(funcs)
+    fmu = jnp.asarray(fmu)
+    fvar = jnp.asarray(fvar)
+    if epsilon is None:
+        epsilon = jax.random.normal(key, (s,) + fmu.shape, fmu.dtype)
+    xn = fmu[None] + jnp.sqrt(jnp.clip(fvar, 0.0))[None] * epsilon
+    ys_b = {k: jnp.asarray(v)[None] for k, v in ys.items()}
+    results = []
+    for fn in fns:
+        fx = fn(xn, **ys_b)
+        if logspace:
+            res = jax.scipy.special.logsumexp(fx, axis=0) - jnp.log(float(s))
+        else:
+            res = jnp.mean(fx, axis=0)
+        results.append(res)
+    return results[0] if single else results
+
+
 def ndiagquad(funcs: Union[Callable, Sequence[Callable]], h: int,
               fmu, fvar, logspace: bool = False, **ys):
     """Expectation of f(F) under diagonal Gaussians N(fmu, fvar) via H-point

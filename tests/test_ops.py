@@ -180,3 +180,23 @@ def test_chol_and_inv_retry_path():
     g = jax.grad(lambda m: jnp.sum(chol_and_inv(m, 1e-2)[1]))(
         jnp.asarray(sick)[None])
     assert bool(jnp.isfinite(g).all())
+
+
+def test_ndiag_mc_converges_to_quadrature():
+    from ffvd_tpu.ops.quadrature import ndiag_mc
+    mu = jnp.asarray([[0.4]])
+    var = jnp.asarray([[0.9]])
+    exact = ndiagquad(lambda f: f * f, 40, mu, var)
+    mc = ndiag_mc(lambda f: f * f, 20000, mu, var, jax.random.key(0))
+    np.testing.assert_allclose(float(mc[0, 0]), float(exact[0, 0]), rtol=0.05)
+
+
+def test_mvnquad_matches_diag_case():
+    from ffvd_tpu.ops.quadrature import mvnquad
+    means = jnp.asarray(rng.randn(4, 2))
+    d = jnp.asarray(rng.rand(4, 2) + 0.3)
+    covs = jax.vmap(jnp.diag)(d)
+    out = mvnquad(lambda x: jnp.sum(x * x, axis=-1), means, covs, 12, 2)
+    expected = jnp.sum(d + means * means, axis=-1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-8)

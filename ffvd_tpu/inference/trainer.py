@@ -188,9 +188,13 @@ class Trainer:
                             state, keys)
 
     def run(self, state: TrainState, num_iterations: int, key: jax.Array,
-            chunk_size: int = 500):
+            chunk_size: int = 500, nan_check: bool = True):
         """Run ``num_iterations`` outer iterations (the reference runs
-        2×cfg.iterations, models.py:142).  Returns (state, nll_trace)."""
+        2×cfg.iterations, models.py:142).  Returns (state, nll_trace).
+
+        ``nan_check``: per-chunk failure detection (the reference would
+        silently train on NaNs to completion) — raises with the failing
+        iteration index and parameter-block diagnostics."""
         traces = []
         done = 0
         while done < num_iterations:
@@ -198,6 +202,16 @@ class Trainer:
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, n)
             state, nlls = self._run_chunk(state, keys)
+            if nan_check and not bool(jnp.all(jnp.isfinite(nlls))):
+                bad = int(jnp.argmax(~jnp.isfinite(nlls)))
+                diag = {
+                    jax.tree_util.keystr(kp): bool(jnp.all(jnp.isfinite(leaf)))
+                    for kp, leaf in jax.tree_util.tree_leaves_with_path(
+                        state.params)}
+                raise FloatingPointError(
+                    f"non-finite nll at iteration {done + bad}; "
+                    f"finite-by-block: {diag}. For ill-conditioned fp32 "
+                    f"runs try fp64 or a larger jitter (cfg.jitter).")
             traces.append(nlls)
             done += n
         return state, jnp.concatenate(traces) if traces else jnp.zeros((0,))

@@ -113,3 +113,48 @@ def test_results_npz_schema(tmp_path):
                 "k_lengthscales", "k_log_variances", "case", "ll_seq",
                 "running_time_seq", "PG_num", "mc_posterior_samples"}
     assert expected <= keys
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    """Orbax checkpoint + exact deterministic resume
+    (SURVEY.md §5 failure-detection/checkpoint row)."""
+    import jax
+    from ffvd_tpu.utils.checkpoint import CheckpointManager, \
+        run_with_checkpoints
+    params, data = small_model()
+    cfg = FFVDConfig(dataset="ballbeam", case=4, num_inducing=6, x_dim=2,
+                     window_size=4)
+    tr = Trainer(cfg, data)
+    key = jax.random.key(0)
+
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    state = tr.init_state(params)
+    final, nlls = run_with_checkpoints(tr, state, 8, key, mgr, every=4,
+                                       chunk_size=4)
+    assert mgr.latest_step() == 8
+
+    # crash after step 4: restore and replay — must be bit-identical
+    template = tr.init_state(params)
+    resumed = mgr.restore(template, step=4)
+    assert int(resumed.step) == 4
+    refinal, _ = run_with_checkpoints(tr, resumed, 8, key, mgr, every=4,
+                                      chunk_size=4)
+    np.testing.assert_array_equal(np.asarray(refinal.params.x),
+                                  np.asarray(final.params.x))
+    np.testing.assert_array_equal(np.asarray(refinal.params.z),
+                                  np.asarray(final.params.z))
+    mgr.close()
+
+
+def test_nan_guard_raises():
+    import dataclasses
+    import jax
+    import pytest
+    params, data = small_model()
+    params = dataclasses.replace(
+        params, x=params.x.at[0, 0].set(jnp.nan))
+    cfg = FFVDConfig(dataset="ballbeam", case=4, num_inducing=6, x_dim=2)
+    tr = Trainer(cfg, data)
+    state = tr.init_state(params)
+    with pytest.raises(FloatingPointError, match="non-finite nll"):
+        tr.run(state, 2, jax.random.key(0), chunk_size=2)

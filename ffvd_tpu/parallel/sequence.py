@@ -1,0 +1,97 @@
+"""Sequence (time-axis) parallelism for long trajectories.
+
+SURVEY.md §5 (long-context row): the FFVD ELBO is *parallel over t* — every
+GP term is a batched gram/projection over the N transitions, and all
+reductions over t are sums.  So the GPSSM analog of sequence parallelism is
+simply: shard the time axis of (x, y, controls) over an 'sp' mesh axis and
+let XLA turn the Σ_t reductions (the H-matrix accumulation F̃ᵀF̃, the a-vector,
+the trace and likelihood sums) into psum-style collectives, with a
+collective-permute halo for the x_{t+1} − x_t difference.  No ring attention
+needed — there is no attention.
+
+This is genuinely useful when N is large (the six system-id datasets are
+tiny, but the framework is not limited to them).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ffvd_tpu.inference.trainer import Trainer, TrainState
+from ffvd_tpu.model.params import GPSSMParams, SSMData
+from ffvd_tpu.ops.kernels import KernelParams
+
+
+def make_seq_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    return Mesh(np.asarray(devices[:n]), ("sp",))
+
+
+def _params_seq_spec() -> GPSSMParams:
+    """Only the latent trajectory has a time axis."""
+    return GPSSMParams(
+        x=P("sp", None), u=P(), z=P(),
+        kernel=KernelParams(log_variance=P(), log_lengthscales=P()),
+        log_q=P(), c=P(), d=P(), log_rchol=P())
+
+
+def data_seq_spec(data: SSMData) -> SSMData:
+    mask = None if data.mask is None else P("sp")
+    return SSMData(y=P("sp", None), control=P("sp", None), mask=mask)
+
+
+def shard_sequence(state: TrainState, data: SSMData, mesh: Mesh):
+    """Place a TrainState + data with the time axis sharded over 'sp'.
+
+    The SGHMC auxiliaries and window snapshots of x inherit x's sharding;
+    everything else is replicated.
+    """
+    pspec = _params_seq_spec()
+    from ffvd_tpu.inference.sghmc import SGHMCState
+    sghmc = SGHMCState(xi=pspec, g=pspec, g2=pspec, p=pspec)
+    import dataclasses
+    window = jax.tree.map(lambda _: P(), state.window)
+    window = dataclasses.replace(window, x=P(None, "sp", None))
+    adam = jax.tree.map(lambda a: P(), state.adam)
+    specs = TrainState(params=pspec, sghmc=sghmc, adam=adam, window=window,
+                       window_count=P(), step=P())
+
+    sp = mesh.shape["sp"]
+
+    def fit_spec(leaf, spec):
+        """Drop 'sp' from dims that don't divide the mesh (device_put
+        requires divisibility; XLA still shards the big intermediates by
+        propagation from the operands that ARE sharded)."""
+        dims = tuple(
+            None if (ax == "sp" and leaf.shape[i] % sp != 0) else ax
+            for i, ax in enumerate(spec))
+        return NamedSharding(mesh, P(*dims))
+
+    put = lambda tree, spec_tree: jax.device_put(
+        tree, jax.tree.map(fit_spec, tree, spec_tree,
+                           is_leaf=lambda x: isinstance(x, P)))
+    return put(state, specs), put(data, data_seq_spec(data))
+
+
+class SequenceShardedTrainer:
+    """Trainer whose per-step program runs with the time axis sharded."""
+
+    def __init__(self, trainer: Trainer, mesh: Mesh):
+        self.trainer = trainer
+        self.mesh = mesh
+        self._step = jax.jit(trainer.outer_step)
+
+    def run(self, state: TrainState, data: SSMData, num_iterations: int,
+            key: jax.Array):
+        state, data = shard_sequence(state, data, self.mesh)
+        nlls = []
+        for k in jax.random.split(key, num_iterations):
+            state, nll = self._step(state, k, data)
+            nlls.append(nll)
+        return state, jnp.stack(nlls)

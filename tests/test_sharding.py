@@ -63,3 +63,32 @@ def test_sharded_state_is_distributed():
 def test_graft_dryrun():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_sequence_sharded_matches_unsharded():
+    """Time-axis (sp) sharding must not change the math: same keys, same
+    nll trace and final params as the unsharded trainer."""
+    from ffvd_tpu.parallel.sequence import (SequenceShardedTrainer,
+                                            make_seq_mesh)
+    # n=15 → x has 16 rows (divides the 8-device 'sp' axis and gets
+    # sharded); y's 15 rows don't divide and stay replicated (the
+    # selective-sharding fallback).
+    params, data = small_model(n=15, m=6, d=2)
+    cfg = FFVDConfig(dataset="ballbeam", case=2, num_inducing=6, x_dim=2,
+                     window_size=4)
+    single = Trainer(cfg, data)
+    key = jax.random.key(4)
+    keys = jax.random.split(key, 3)
+    s_state = single.init_state(params)
+    s_state, s_nlls = single._run_chunk(s_state, keys)
+
+    mesh = make_seq_mesh(8)
+    seq = SequenceShardedTrainer(Trainer(cfg, data), mesh)
+    q_state, q_nlls = seq.run(seq.trainer.init_state(params), data, 3, key)
+    # seq.run splits the key identically to _run_chunk's scan input
+    np.testing.assert_allclose(np.asarray(q_nlls), np.asarray(s_nlls),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(q_state.params.x),
+                               np.asarray(s_state.params.x), rtol=1e-9)
+    # the trajectory really is distributed
+    assert len(q_state.params.x.sharding.device_set) > 1

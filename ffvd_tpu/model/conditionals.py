@@ -56,6 +56,17 @@ def kernel_precal(kernel_type: str, kparams: KernelParams, z: jnp.ndarray,
     return Precal(lm=lm, lm_inv=lm_inv)
 
 
+def conditional(kernel_type: str, kparams: KernelParams, z: jnp.ndarray,
+                u: jnp.ndarray, xnew: jnp.ndarray, q_sqrt=None,
+                jitter: float = 1e-5):
+    """Fresh-factorization whitened conditional — the reference's
+    ``conditional`` (conditionals_multi_output.py:73-120), i.e. precal +
+    cached conditional in one call."""
+    pre = kernel_precal(kernel_type, kparams, z, jitter)
+    return whitened_conditional(kernel_type, kparams, pre, z, u, xnew,
+                                q_sqrt=q_sqrt)
+
+
 def projection(kernel_type: str, kparams: KernelParams, pre: Precal,
                z: jnp.ndarray, xnew: jnp.ndarray) -> jnp.ndarray:
     """A = Lm⁻¹ K(Z, X̃) for all D dims → (D, M, N).

@@ -121,14 +121,25 @@ _DISPATCH = {
 }
 
 
-def gram(kernel_type: str, params: KernelParams, x: jnp.ndarray) -> jnp.ndarray:
-    return _DISPATCH[kernel_type][0](params, x)
+def _slice(x: jnp.ndarray, active_dims) -> jnp.ndarray:
+    """Column selection à la Kernel._slice (kernels_multi_output.py:84-106);
+    shared across the D batched kernels.  None = all columns."""
+    if active_dims is None:
+        return x
+    return x[..., jnp.asarray(active_dims)]
+
+
+def gram(kernel_type: str, params: KernelParams, x: jnp.ndarray,
+         active_dims=None) -> jnp.ndarray:
+    return _DISPATCH[kernel_type][0](params, _slice(x, active_dims))
 
 
 def cross(kernel_type: str, params: KernelParams, x: jnp.ndarray,
-          z: jnp.ndarray) -> jnp.ndarray:
-    return _DISPATCH[kernel_type][1](params, x, z)
+          z: jnp.ndarray, active_dims=None) -> jnp.ndarray:
+    return _DISPATCH[kernel_type][1](params, _slice(x, active_dims),
+                                     _slice(z, active_dims))
 
 
-def diag(kernel_type: str, params: KernelParams, x: jnp.ndarray) -> jnp.ndarray:
-    return _DISPATCH[kernel_type][2](params, x)
+def diag(kernel_type: str, params: KernelParams, x: jnp.ndarray,
+         active_dims=None) -> jnp.ndarray:
+    return _DISPATCH[kernel_type][2](params, _slice(x, active_dims))

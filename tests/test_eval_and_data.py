@@ -158,3 +158,55 @@ def test_nan_guard_raises():
     state = tr.init_state(params)
     with pytest.raises(FloatingPointError, match="non-finite nll"):
         tr.run(state, 2, jax.random.key(0), chunk_size=2)
+
+
+def test_synthetic_kink_cold_start_trains():
+    """Framework capability the reference lacks entirely: train on generated
+    data with a cold start (no Factnonlin warm start)."""
+    import jax
+    from ffvd_tpu.data.synthetic import generate_kink
+    from ffvd_tpu.model.params import init_params_random
+
+    ds = generate_kink(n=60, seed=1)
+    assert ds.y_train.shape == (60, 1) and ds.control.shape[1] == 0
+    params = init_params_random(jax.random.key(0), n=60, x_dim=1, m=12,
+                                control_dim=0)
+    data = SSMData(y=jnp.asarray(ds.y_train),
+                   control=jnp.asarray(ds.control))
+    cfg = FFVDConfig(dataset="ballbeam", case=4, num_inducing=12, x_dim=1,
+                     num_posterior_samples=3)
+    tr = Trainer(cfg, data)
+    state, nlls = tr.run(tr.init_state(params), 150, jax.random.key(1),
+                         chunk_size=150)
+    assert float(nlls[-1]) < float(nlls[0]) - 0.5   # actually learns
+    xs, vs, _ = collect_posterior(tr, state, test_len=10,
+                                  key=jax.random.key(2))
+    assert np.isfinite(np.asarray(xs)).all()
+
+
+def test_get_rand_moments():
+    import jax
+    from ffvd_tpu.ops.sampling import get_rand
+    mean = jnp.zeros((2000, 2))
+    var = jnp.asarray(np.tile([[0.25, 4.0]], (2000, 1)))
+    s = get_rand(jax.random.key(0), mean, var)
+    np.testing.assert_allclose(np.asarray(s).std(axis=0), [0.5, 2.0],
+                               rtol=0.05)
+    # full covariance path
+    cov = jnp.asarray(np.stack([np.eye(50) * 0.25, np.eye(50) * 4.0]))
+    s2 = get_rand(jax.random.key(1), jnp.zeros((50, 2)), cov, full_cov=True)
+    assert s2.shape == (50, 2) and np.isfinite(np.asarray(s2)).all()
+
+
+def test_fresh_conditional_equals_cached():
+    from ffvd_tpu.model.conditionals import (conditional, kernel_precal,
+                                             whitened_conditional)
+    params, data = small_model()
+    xq = jnp.asarray(np.random.RandomState(5).randn(6, 3))
+    mu1, v1 = conditional("SquaredExponential", params.kernel, params.z,
+                          params.u, xq)
+    pre = kernel_precal("SquaredExponential", params.kernel, params.z, 1e-5)
+    mu2, v2 = whitened_conditional("SquaredExponential", params.kernel, pre,
+                                   params.z, params.u, xq)
+    np.testing.assert_array_equal(np.asarray(mu1), np.asarray(mu2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))

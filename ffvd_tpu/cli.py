@@ -76,6 +76,16 @@ def main(argv=None):
     from ffvd_tpu.model.params import (SSMData, adapt_warmstart_xdim,
                                        init_params_from_warmstart)
 
+    if args.n_layers != 1:
+        # The reference parses --n_layers but its deep path is dead code:
+        # Layer.fixed_mean is never applied (dgp_model.py:101-102 commented),
+        # and the kernels[l+1][0] indexing breaks for the live multi-output
+        # kernel lists.  Single-layer is the only functioning configuration.
+        raise NotImplementedError(
+            "n_layers > 1: the reference's deep-GP path is non-functional "
+            "dead code (SURVEY.md §2.7); only the single-layer GPSSM is "
+            "supported")
+
     dataset = FILE_INDEX_ORDER[args.file_index]
     cfg = FFVDConfig(
         dataset=dataset, case=args.case_val, num_inducing=args.num_inducing,

@@ -76,6 +76,12 @@ class FFVDConfig:
     adam_lr: float = 0.003          # base lr; effective lr = 0.003*0.95^(1/1000)
     pg_particles: int = 100
     jitter: float = 1e-5            # Kmm jitter (conditionals_multi_output.py:108)
+    # fp32 guard: SGHMC's scale-adapted preconditioner lets near-flat log-
+    # hyperparameter coordinates random-walk; past ~|88| exp() overflows
+    # fp32 (the fp64 reference merely wanders).  Sampled log-parameters are
+    # clipped to ±sghmc_log_clip — exp(±30)=1e±13 is far outside any useful
+    # region, so healthy chains never touch the box.  None disables.
+    sghmc_log_clip: Optional[float] = 30.0
     file_id: int = 3                # warm-start file selector (FFVD_Main.py:363)
     seed: int = 0
 

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from ffvd_tpu.config import FFVDConfig
 from ffvd_tpu.inference.sghmc import sghmc_step
-from ffvd_tpu.inference.trainer import SGHMC, Trainer, TrainState, _select
+from ffvd_tpu.inference.trainer import (SGHMC, Trainer, TrainState,
+                                        _select, clip_log_leaves)
 from ffvd_tpu.model.conditionals import (collapsed_u_posterior, kernel_precal,
                                          whitened_conditional)
 from ffvd_tpu.model.likelihoods import emission_mean
@@ -116,6 +117,7 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
                                         epsilon=cfg.epsilon,
                                         mdecay=cfg.mdecay, x_n=x_n,
                                         burn_in=False)
+                    p2 = clip_log_leaves(p2, cfg.sghmc_log_clip)
                     p2 = _select(trainer.labels, p2, p, SGHMC)
                     return (p2, s2), None
 

@@ -58,6 +58,18 @@ def _select(labels: Pytree, a: Pytree, b: Pytree, target: str) -> Pytree:
     return jax.tree.map(lambda l, x, y: x if l == target else y, labels, a, b)
 
 
+def clip_log_leaves(tree: Pytree, clip) -> Pytree:
+    """Clip log-parameterized leaves (path contains 'log') to ±clip — the
+    fp32 overflow guard for SGHMC-sampled hyperparameters (see
+    FFVDConfig.sghmc_log_clip).  No-op when clip is None."""
+    if clip is None:
+        return tree
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, leaf: (jnp.clip(leaf, -clip, clip)
+                          if "log" in jax.tree_util.keystr(kp) else leaf),
+        tree)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:
@@ -128,6 +140,8 @@ class Trainer:
         flags = jnp.asarray([True] + [True, False] * 10)
         keys = jax.random.split(key, flags.shape[0])
 
+        clip = self.cfg.sghmc_log_clip
+
         def body(carry, inp):
             flag, k = inp
             p, s = carry
@@ -135,6 +149,7 @@ class Trainer:
             p2, s2 = sghmc_step(
                 p, grads, s, k, epsilon=self.cfg.epsilon,
                 mdecay=self.cfg.mdecay, x_n=x_n, burn_in=flag)
+            p2 = clip_log_leaves(p2, clip)
             p2 = _select(self.labels, p2, p, SGHMC)
             return (p2, s2), None
 

@@ -215,3 +215,31 @@ def test_pg_tracks_informative_observations():
     resid = np.asarray(out.x[1:, 0]) - np.asarray(data.y[:, 0])
     prior_resid = np.asarray(data.y[:, 0])  # vs zero-mean prior particles
     assert np.mean(resid[5:] ** 2) < 0.5 * np.mean(prior_resid[5:] ** 2)
+
+
+def test_sghmc_log_clip_guards_overflow():
+    """A log-hyperparameter started outside the clip box is pulled back in
+    (the fp32 exp-overflow guard, FFVDConfig.sghmc_log_clip)."""
+    params, data = small_model()
+    params = dataclasses.replace(
+        params,
+        kernel=dataclasses.replace(
+            params.kernel,
+            log_variance=jnp.full_like(params.kernel.log_variance, 100.0)))
+    cfg = _mini_cfg(2)              # kernel hypers are SGHMC-sampled in C2
+    tr = Trainer(cfg, data)
+    state = tr.init_state(params)
+    state, nlls = tr.run(state, 1, jax.random.key(0), chunk_size=1,
+                         nan_check=False)
+    assert float(jnp.max(state.params.kernel.log_variance)) <= 30.0
+
+
+def test_clip_log_leaves_only_touches_log_paths():
+    from ffvd_tpu.inference.trainer import clip_log_leaves
+    params, _ = small_model()
+    big = jax.tree.map(lambda a: jnp.full_like(a, 1e6), params)
+    out = clip_log_leaves(big, 30.0)
+    assert float(out.x[0, 0]) == 1e6                  # not a log leaf
+    assert float(out.log_q[0]) == 30.0
+    assert float(out.kernel.log_lengthscales[0, 0]) == 30.0
+    assert clip_log_leaves(big, None) is big

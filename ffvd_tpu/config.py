@@ -76,12 +76,17 @@ class FFVDConfig:
     adam_lr: float = 0.003          # base lr; effective lr = 0.003*0.95^(1/1000)
     pg_particles: int = 100
     jitter: float = 1e-5            # Kmm jitter (conditionals_multi_output.py:108)
-    # fp32 guard: SGHMC's scale-adapted preconditioner lets near-flat log-
-    # hyperparameter coordinates random-walk; past ~|88| exp() overflows
-    # fp32 (the fp64 reference merely wanders).  Sampled log-parameters are
-    # clipped to ±sghmc_log_clip — exp(±30)=1e±13 is far outside any useful
-    # region, so healthy chains never touch the box.  None disables.
+    # fp32 guards for the sampler (the fp64 reference merely wanders through
+    # these regimes; fp32 overflows).  Both are far outside the useful
+    # region, so healthy chains never touch them.  None disables.
+    # 1) sampled log-parameters clipped to ±sghmc_log_clip (exp(±30)=1e±13);
     sghmc_log_clip: Optional[float] = 30.0
+    # 2) per-element gradient magnitude clipped to sghmc_grad_clip and
+    #    non-finite gradients zeroed before the SGHMC update — an inf grad
+    #    would make ε²·M⁻¹·∇ = 0·inf = NaN (grad² overflows fp32 first at
+    #    |∇| ≈ 2e19).  The RMS preconditioner makes the update scale-free,
+    #    so clipping huge gradients barely perturbs the dynamics.
+    sghmc_grad_clip: Optional[float] = 1e6
     file_id: int = 3                # warm-start file selector (FFVD_Main.py:363)
     seed: int = 0
 

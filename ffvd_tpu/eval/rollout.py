@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from ffvd_tpu.config import FFVDConfig
 from ffvd_tpu.inference.sghmc import sghmc_step
 from ffvd_tpu.inference.trainer import (SGHMC, Trainer, TrainState,
-                                        _select, clip_log_leaves)
+                                        _select, clip_log_leaves,
+                                        sanitize_grads)
 from ffvd_tpu.model.conditionals import (collapsed_u_posterior, kernel_precal,
                                          whitened_conditional)
 from ffvd_tpu.model.likelihoods import emission_mean
@@ -112,7 +113,9 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
 
                 def thin(c, kk):
                     p, s = c
-                    grads = trainer.grad_fn(p, trainer.data)
+                    grads = sanitize_grads(
+                        trainer.grad_fn(p, trainer.data),
+                        cfg.sghmc_grad_clip)
                     p2, s2 = sghmc_step(p, grads, s, kk,
                                         epsilon=cfg.epsilon,
                                         mdecay=cfg.mdecay, x_n=x_n,

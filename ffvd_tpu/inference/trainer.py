@@ -58,6 +58,17 @@ def _select(labels: Pytree, a: Pytree, b: Pytree, target: str) -> Pytree:
     return jax.tree.map(lambda l, x, y: x if l == target else y, labels, a, b)
 
 
+def sanitize_grads(grads: Pytree, clip) -> Pytree:
+    """Zero non-finite gradient elements and clip magnitudes to ±clip (see
+    FFVDConfig.sghmc_grad_clip).  No-op when clip is None."""
+    if clip is None:
+        return grads
+    def fix(g):
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        return jnp.clip(g, -clip, clip)
+    return jax.tree.map(fix, grads)
+
+
 def clip_log_leaves(tree: Pytree, clip) -> Pytree:
     """Clip log-parameterized leaves (path contains 'log') to ±clip — the
     fp32 overflow guard for SGHMC-sampled hyperparameters (see
@@ -114,6 +125,15 @@ class Trainer:
         self.tx = optax.multi_transform(
             {"adam": optax.adam(self.adam_lr), "freeze": optax.set_to_zero()},
             param_labels=adam_labels)
+        # Same fp32 guard as the sampler: Adam's second moment squares the
+        # gradient, overflowing fp32 at |g| ≈ 2e19 (reachable when window-fed
+        # SGHMC hyperparameters are extreme).  Healthy runs never see grads
+        # near the 1e6 clip, so reference semantics are untouched.
+        if cfg.sghmc_grad_clip is not None:
+            self.tx = optax.chain(
+                optax.stateless(lambda g, _:
+                                sanitize_grads(g, cfg.sghmc_grad_clip)),
+                self.tx)
 
         self._run_chunk = jax.jit(self._run_chunk_impl)
 
@@ -142,10 +162,12 @@ class Trainer:
 
         clip = self.cfg.sghmc_log_clip
 
+        gclip = self.cfg.sghmc_grad_clip
+
         def body(carry, inp):
             flag, k = inp
             p, s = carry
-            grads = self.grad_fn(p, data)
+            grads = sanitize_grads(self.grad_fn(p, data), gclip)
             p2, s2 = sghmc_step(
                 p, grads, s, k, epsilon=self.cfg.epsilon,
                 mdecay=self.cfg.mdecay, x_n=x_n, burn_in=flag)

@@ -25,7 +25,15 @@ def _phi(x: jnp.ndarray) -> jnp.ndarray:
 
 def _psd_cholesky_impl(mat: jnp.ndarray, retry_jitter: float) -> jnp.ndarray:
     """Factorize with up-to-two escalated-jitter retries.  The retries hide
-    behind lax.cond, so the common path pays exactly ONE factorization."""
+    behind lax.cond, so the common path pays exactly ONE factorization.
+
+    The first retry is the reference's ABSOLUTE 1e-4 jitter
+    (conditionals_multi_output.py:30).  The second is RELATIVE to each
+    matrix's diagonal scale: the collapsed H = F̃ᵀF̃/Q + I can reach ~1e20
+    when sampled hyperparameters are extreme, where any absolute jitter is
+    below fp32 rounding and a rank-deficient block yields a non-positive
+    pivot — a jitter proportional to mean(diag) restores positive
+    definiteness at every scale."""
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
 
     def per_bad(c):
@@ -34,12 +42,16 @@ def _psd_cholesky_impl(mat: jnp.ndarray, retry_jitter: float) -> jnp.ndarray:
     def retry(l):
         l1 = jnp.where(per_bad(l),
                        jnp.linalg.cholesky(mat + retry_jitter * eye), l)
-        return jax.lax.cond(
-            jnp.any(~jnp.isfinite(l1)),
-            lambda c: jnp.where(
-                per_bad(c),
-                jnp.linalg.cholesky(mat + 100.0 * retry_jitter * eye), c),
-            lambda c: c, l1)
+
+        def rel_retry(c):
+            diag_scale = jnp.mean(jnp.diagonal(mat, axis1=-2, axis2=-1),
+                                  axis=-1)[..., None, None]
+            rel = 1e-4 * jnp.maximum(diag_scale, 1.0)
+            return jnp.where(per_bad(c),
+                             jnp.linalg.cholesky(mat + rel * eye), c)
+
+        return jax.lax.cond(jnp.any(~jnp.isfinite(l1)), rel_retry,
+                            lambda c: c, l1)
 
     l0 = jnp.linalg.cholesky(mat)
     return jax.lax.cond(jnp.any(~jnp.isfinite(l0)), retry, lambda c: c, l0)

@@ -52,7 +52,7 @@ class FFVDModel:
         pg_fn = make_pg_fn(cfg) if cfg.case_config.x_pg else None
         self.trainer = Trainer(cfg, self.data, pg_fn=pg_fn)
         self.state = self.trainer.init_state(params)
-        self.key = jax.random.key(cfg.seed)
+        self.key = jax.random.key(cfg.seed, impl=cfg.prng_impl)
         self.nll_trace = jnp.zeros((0,), dtype)
 
     @property

@@ -39,6 +39,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--prior_type",
                    choices=["determinantal", "normal", "strauss", "uniform"],
                    default="normal")
+    p.add_argument("--prng_impl", choices=["threefry2x32", "rbg"],
+                   default="threefry2x32",
+                   help="rbg is ~1.5x faster for SGHMC-heavy cases on TPU")
     p.add_argument("--hyperparameter_sampling", action="store_true",
                    help="push log_Q, C, d, log_Rchol into the SG-HMC set "
                         "(dgp_model.py:241-243; off by default like "
@@ -95,7 +98,7 @@ def main(argv=None):
         prior_type=args.prior_type, kernel_type=args.kernel_type,
         kernel_train_flag=args.kernel_train_flag, file_id=args.file_id,
         hyperparameter_sampling=args.hyperparameter_sampling,
-        pg_particles=100, seed=args.seed)
+        prng_impl=args.prng_impl, pg_particles=100, seed=args.seed)
 
     print(f"#### {dataset} | case C{cfg.case} | {platform} {precision} ####")
 
@@ -118,7 +121,7 @@ def main(argv=None):
         pg_fn = make_pg_fn(cfg, data)
     trainer = Trainer(cfg, data, pg_fn=pg_fn)
     state = trainer.init_state(params)
-    key = jax.random.key(cfg.seed)
+    key = jax.random.key(cfg.seed, impl=cfg.prng_impl)
     key, k_train, k_eval = jax.random.split(key, 3)
 
     t0 = time.time()

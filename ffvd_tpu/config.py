@@ -87,6 +87,10 @@ class FFVDConfig:
     #    |∇| ≈ 2e19).  The RMS preconditioner makes the update scale-free,
     #    so clipping huge gradients barely perturbs the dynamics.
     sghmc_grad_clip: Optional[float] = 1e6
+    # PRNG implementation for training keys: 'threefry2x32' (JAX default,
+    # splittable/stable) or 'rbg' (hardware-friendly, ~1.5x faster sampler
+    # throughput on TPU for SGHMC-heavy cases).
+    prng_impl: str = "threefry2x32"
     file_id: int = 3                # warm-start file selector (FFVD_Main.py:363)
     seed: int = 0
 

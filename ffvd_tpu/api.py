@@ -60,13 +60,60 @@ class FFVDModel:
         return self.state.params
 
     def fit(self, num_iterations: Optional[int] = None,
-            chunk_size: int = 500) -> "FFVDModel":
+            chunk_size: int = 500,
+            eval_every: Optional[int] = None,
+            eval_samples: int = 3) -> "FFVDModel":
+        """Train; with ``eval_every`` also record (iteration, RMSE, NLL)
+        into ``self.rmse_seq`` — the working version of the reference's dead
+        per-iteration tracker (RMSE_calculate_per_iteration,
+        base_model.py:777-909, call commented at models.py:190)."""
         n = num_iterations or self.cfg.total_iterations
-        self.key, sub = jax.random.split(self.key)
-        self.state, nlls = self.trainer.run(self.state, n, sub,
-                                            chunk_size=chunk_size)
-        self.nll_trace = jnp.concatenate([self.nll_trace, nlls])
+        if not hasattr(self, "rmse_seq"):
+            self.rmse_seq = []
+        done = 0
+        step = min(chunk_size, eval_every or n)
+        while done < n:
+            m = min(step, n - done)
+            self.key, sub = jax.random.split(self.key)
+            self.state, nlls = self.trainer.run(self.state, m, sub,
+                                                chunk_size=chunk_size)
+            self.nll_trace = jnp.concatenate([self.nll_trace, nlls])
+            done += m
+            if eval_every and (done % eval_every == 0 or done == n):
+                res = self.evaluate_quick(eval_samples)
+                self.rmse_seq.append((int(self.state.step), res["rmse"],
+                                      res["nll"]))
         return self
+
+    def evaluate_quick(self, num_samples: int = 3, horizon: int = 30):
+        """Cheap mid-training eval (fewer posterior samples)."""
+        test_len = min(self.dataset.n_test, max(horizon, 30))
+        self.key, sub = jax.random.split(self.key)
+        xs, vs, self.state = collect_posterior(
+            self.trainer, self.state, test_len, sub, num=num_samples)
+        py, pv, _ = predict_summary(self.params, xs, vs)
+        rmse, nll = rmse_nll(
+            jnp.asarray(self.dataset.y_test[:test_len], self.dtype), py, pv,
+            self.dataset.y_train_std, horizon=horizon)
+        return {"rmse": float(rmse), "nll": float(nll)}
+
+    def evaluate_per_sample(self, horizon: int = 30):
+        """Per-posterior-sample RMSE/NLL lists — the reference's
+        collect_samples_2023 output (base_model.py:619-635, dead)."""
+        test_len = self.dataset.n_test
+        self.key, sub = jax.random.split(self.key)
+        xs, vs, self.state = collect_posterior(
+            self.trainer, self.state, test_len, sub)
+        rmses, nlls = [], []
+        y_test = jnp.asarray(self.dataset.y_test, self.dtype)
+        for s in range(xs.shape[0]):
+            py, pv, _ = predict_summary(self.params, xs[s:s + 1],
+                                        vs[s:s + 1])
+            r, n = rmse_nll(y_test, py, pv, self.dataset.y_train_std,
+                            horizon=horizon)
+            rmses.append(float(r))
+            nlls.append(float(n))
+        return rmses, nlls
 
     def predict(self, test_len: Optional[int] = None,
                 num_samples: Optional[int] = None):

@@ -24,3 +24,13 @@ def test_regression_model_full_surface(tmp_path):
     out = m.save_results(tmp_path / "res.npz")
     with np.load(out, allow_pickle=True) as z:
         assert "y_test_vfe" in z.files and "ll_seq" in z.files
+
+
+def test_fit_with_periodic_eval_and_per_sample():
+    m = RegressionModel("normal", dataset="ballbeam", case=4,
+                        num_posterior_samples=3)
+    m.fit(num_iterations=40, chunk_size=20, eval_every=20)
+    assert len(m.rmse_seq) == 2
+    assert all(np.isfinite(r) and np.isfinite(n) for _, r, n in m.rmse_seq)
+    rmses, nlls = m.evaluate_per_sample()
+    assert len(rmses) == 3 and all(np.isfinite(r) for r in rmses)

@@ -44,7 +44,7 @@ def main():
     key = jax.random.key(0)
 
     total = cfg.total_iterations          # 4000 (2000 CLI iterations)
-    chunk = 1000
+    chunk = total                         # one fused program for the run
 
     # Warm-up: compile the fused chunk and run a few steps.
     key, kw = jax.random.split(key)

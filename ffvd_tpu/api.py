@@ -9,7 +9,6 @@ fused trainer, and the predictive methods ride the posterior rollout.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from typing import Optional
 

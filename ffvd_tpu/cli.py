@@ -12,7 +12,6 @@ cpu/tpu; ``--precision`` selects fp64 (parity) or fp32 (TPU speed).
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import time
 from datetime import datetime

@@ -13,7 +13,7 @@ CLI quirks called out in SURVEY.md §2.7 are fixed deliberately:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 PRIOR_TYPES = ("uniform", "normal", "determinantal", "strauss")
 KERNEL_TYPES = ("SquaredExponential", "LinearK")

@@ -14,7 +14,7 @@ outside the repo).  Here the generators are native:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -32,7 +32,6 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ffvd_tpu.config import FFVDConfig
 from ffvd_tpu.inference.sghmc import sghmc_step
 from ffvd_tpu.inference.trainer import (SGHMC, Trainer, TrainState,
                                         _select, clip_log_leaves,

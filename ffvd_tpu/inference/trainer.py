@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ffvd_tpu.config import ADAM, FROZEN, SGHMC, FFVDConfig, partition_for
+from ffvd_tpu.config import ADAM, SGHMC, FFVDConfig, partition_for
 from ffvd_tpu.inference.sghmc import SGHMCState, sghmc_init, sghmc_step
 from ffvd_tpu.model.elbo import negative_elbo
 from ffvd_tpu.model.params import GPSSMParams, SSMData

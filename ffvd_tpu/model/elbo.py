@@ -18,7 +18,7 @@ normalized by the number of real transitions instead.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 

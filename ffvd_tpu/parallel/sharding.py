@@ -21,7 +21,6 @@ let XLA do the rest.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -15,8 +15,6 @@ import time
 from pathlib import Path
 from typing import Dict, Optional
 
-import jax
-
 from ffvd_tpu.model.elbo import elbo_terms
 
 

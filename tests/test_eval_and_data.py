@@ -210,3 +210,33 @@ def test_fresh_conditional_equals_cached():
                                    params.z, params.u, xq)
     np.testing.assert_array_equal(np.asarray(mu1), np.asarray(mu2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_linear_system_identification_end_to_end():
+    """On a generated linear-Gaussian SSM the GPSSM should free-run predict
+    near the observation-noise floor (sampler-quality smoke on data with
+    known ground truth — the reference's 'linear_dynamic_systems' path)."""
+    import jax
+    from ffvd_tpu.data.synthetic import generate_linear
+    from ffvd_tpu.model.params import init_params_random
+
+    ds, truth = generate_linear(n=120, x_dim=2, q_std=0.05, r_std=0.1,
+                                seed=3)
+    params = init_params_random(jax.random.key(0), n=120, x_dim=2, m=16,
+                                control_dim=0)
+    data = SSMData(y=jnp.asarray(ds.y_train),
+                   control=jnp.asarray(ds.control))
+    cfg = FFVDConfig(dataset="ballbeam", case=4, num_inducing=16, x_dim=2,
+                     num_posterior_samples=5)
+    tr = Trainer(cfg, data)
+    state, nlls = tr.run(tr.init_state(params), 400, jax.random.key(1),
+                         chunk_size=200)
+    assert float(nlls[-1]) < float(nlls[0]) - 1.0
+    xs, vs, _ = collect_posterior(tr, state, test_len=ds.n_test,
+                                  key=jax.random.key(2))
+    py, pv, _ = predict_summary(state.params, xs, vs)
+    rmse, _ = rmse_nll(jnp.asarray(ds.y_test), py, pv, ds.y_train_std,
+                       horizon=10)
+    # free-run on a stable contracting system: normalized 10-step RMSE
+    # should land near the noise floor (r_std=0.1, y scale ~ y_train_std)
+    assert float(rmse) < 3.0 * ds.y_train_std

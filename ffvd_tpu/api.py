@@ -160,7 +160,12 @@ class FFVDModel:
         return np.asarray(ys + noise)
 
     def save_results(self, path, case: Optional[str] = None):
-        py, pv = self.predict()
+        if hasattr(self, "_last_rollout"):
+            # reuse the rollout from the last predict/evaluate so the saved
+            # predictions are the ones that were reported
+            py, pv, _ = predict_summary(self.params, *self._last_rollout)
+        else:
+            py, pv = self.predict()
         return save_results_npz(
             path, params=self.params, fit_y=self._last_fit_y,
             predict_y=py, predict_y_var=pv,

@@ -17,6 +17,14 @@ import time
 from datetime import datetime
 
 
+def _str2bool(v: str) -> bool:
+    if v.lower() in ("true", "1", "yes"):
+        return True
+    if v.lower() in ("false", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Run an FFVD-GPSSM experiment (TPU rebuild)")
     p.add_argument("--num_inducing", type=int, default=100)
@@ -32,7 +40,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ratio", type=float, default=0.5)
     p.add_argument("--kernel_type", choices=["SquaredExponential", "LinearK"],
                    default="SquaredExponential")
-    p.add_argument("--kernel_train_flag", type=bool, default=True)
+    # the reference's `type=bool` made this flag impossible to turn off
+    # (bool('False') is True, FFVD_Main.py:375) — fixed with a real parser
+    p.add_argument("--kernel_train_flag", type=_str2bool, default=True)
     p.add_argument("--data_index", type=int, default=4)
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--prior_type",
@@ -69,14 +79,8 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
+    from ffvd_tpu.api import FFVDModel
     from ffvd_tpu.config import FILE_INDEX_ORDER, FFVDConfig
-    from ffvd_tpu.data import create_dataset, load_warmstart
-    from ffvd_tpu.eval import (collect_posterior, predict_summary, rmse_nll,
-                               save_results_npz)
-    from ffvd_tpu.inference.trainer import Trainer
-    from ffvd_tpu.inference.particle_gibbs import make_pg_fn
-    from ffvd_tpu.model.params import (SSMData, adapt_warmstart_xdim,
-                                       init_params_from_warmstart)
 
     if args.n_layers != 1:
         # The reference parses --n_layers but its deep path is dead code:
@@ -102,42 +106,20 @@ def main(argv=None):
     print(f"#### {dataset} | case C{cfg.case} | {platform} {precision} ####")
 
     dtype = jnp.float64 if precision == "fp64" else jnp.float32
-    ds = create_dataset(dataset)
-    ws = load_warmstart(dataset, cfg.file_id)
-    params = init_params_from_warmstart(ws, dtype=dtype)
-    if cfg.x_dim != params.x_dim:
-        params = adapt_warmstart_xdim(params, cfg.x_dim,
-                                      control_dim=ds.control.shape[1],
-                                      seed=cfg.seed)
-    if cfg.num_inducing != params.z.shape[0]:
-        from ffvd_tpu.parallel.multidataset import _resize_inducing
-        params = _resize_inducing(params, cfg.num_inducing, cfg.seed)
-    data = SSMData(y=jnp.asarray(ds.y_train, dtype=dtype),
-                   control=jnp.asarray(ds.control, dtype=dtype))
-
-    pg_fn = None
-    if cfg.case_config.x_pg:
-        pg_fn = make_pg_fn(cfg, data)
-    trainer = Trainer(cfg, data, pg_fn=pg_fn)
-    state = trainer.init_state(params)
-    key = jax.random.key(cfg.seed, impl=cfg.prng_impl)
-    key, k_train, k_eval = jax.random.split(key, 3)
+    model = FFVDModel(cfg, dtype=dtype)  # data→warm-start→adapt→trainer
 
     t0 = time.time()
-    state, nlls = trainer.run(state, cfg.total_iterations, k_train,
-                              chunk_size=args.chunk_size)
+    model.fit(chunk_size=args.chunk_size)
     train_time = time.time() - t0
+    nlls = model.nll_trace
     print(f"trained {cfg.total_iterations} iters in {train_time:.2f}s "
           f"({cfg.total_iterations / train_time:.1f} it/s); "
           f"nll {float(nlls[0]):.4f} -> {float(nlls[-1]):.4f}")
 
     t1 = time.time()
-    xs, vs, state = collect_posterior(trainer, state, ds.n_test, k_eval)
-    predict_y, predict_y_var, fit_y = predict_summary(state.params, xs, vs)
-    rmse, nll = rmse_nll(jnp.asarray(ds.y_test, dtype=dtype), predict_y,
-                         predict_y_var, ds.y_train_std)
+    res = model.evaluate()
     eval_time = time.time() - t1
-    print(f"RMSE: {float(rmse):.6f}  NLL: {float(nll):.6f}  "
+    print(f"RMSE: {res['rmse']:.6f}  NLL: {res['nll']:.6f}  "
           f"(eval {eval_time:.2f}s)")
 
     fileid = datetime.now().strftime("%Y_%m_%d_%H_%M_%S_%f") \
@@ -146,14 +128,9 @@ def main(argv=None):
     out = os.path.join(
         args.results_dir, dataset,
         f"{case}VFE_result_{dataset}_{fileid}.npz_results.npz")
-    save_results_npz(
-        out, params=state.params, fit_y=fit_y, predict_y=predict_y,
-        predict_y_var=predict_y_var, y_test=ds.y_test, y_train=ds.y_train,
-        y_train_std=ds.y_train_std, case=case,
-        ll_seq=[-float(v) for v in nlls[:: max(1, len(nlls) // 512)]],
-        running_time_seq=[train_time], pg_num=cfg.pg_particles)
+    model.save_results(out, case=case)
     print(f"saved {out}")
-    return {"rmse": float(rmse), "nll": float(nll),
+    return {"rmse": res["rmse"], "nll": res["nll"],
             "train_time": train_time, "final_elbo": -float(nlls[-1])}
 
 

@@ -48,7 +48,11 @@ def load_warmstart(dataset: str, file_id: int = 3,
     if not files:
         raise FileNotFoundError(
             f"no warm-start npz for {dataset!r} under {root or warmstart_dir()}")
-    path = files[file_id % len(files)]
+    if not 0 <= file_id < len(files):
+        raise IndexError(
+            f"file_id {file_id} out of range: {len(files)} warm-start files "
+            f"exist for {dataset!r}")
+    path = files[file_id]
     with np.load(path, allow_pickle=True) as z:
         out = {k: np.asarray(z[k]) for k in z.files}
     missing = [k for k in REQUIRED_KEYS if k not in out]

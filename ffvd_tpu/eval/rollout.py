@@ -57,7 +57,8 @@ def _rollout_one(kernel_type: str, jitter: float, kparams, z, u_val,
         mu, var = whitened_conditional(kernel_type, kparams, pre, z, u_val,
                                        xc, q_sqrt=q_sqrt)
         mean = mu[0] + x_t
-        var_tot = var[0] + q
+        # clamp: fp32 cancellation in Kdiag − ΣA² can leave var ≈ −1e-7σ²
+        var_tot = jnp.maximum(var[0] + q, 0.0)
         noise = jax.random.normal(k, x_t.shape, x_t.dtype)
         x_next = mean + noise * jnp.sqrt(var_tot)
         return x_next, (x_next, var_tot)
@@ -86,6 +87,15 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
 
     kt, jit_ = cfg.kernel_type, cfg.jitter
     collapse = cfg.case_config.u_collapse
+
+    # jit cache on the trainer: a fresh closure per call would force a full
+    # recompile of the S×(thinning + rollout) program on every evaluation.
+    cache = getattr(trainer, "_collect_cache", None)
+    if cache is None:
+        cache = trainer._collect_cache = {}
+    cache_key = (test_len, num, spacing)
+    if cache_key in cache:
+        return cache[cache_key](state, key)
 
     def u_and_qsqrt(params: GPSSMParams):
         if collapse:
@@ -146,6 +156,7 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
             xs, vs = jax.vmap(roll)(jax.random.split(key, num))
             return xs, vs, state
 
+    cache[cache_key] = _collect
     return _collect(state, key)
 
 

@@ -61,7 +61,8 @@ def make_pg_fn(cfg: FFVDConfig, data: SSMData = None) -> Callable:
                                            params.u, xc)
             mu = mu + x_t                                    # identity mean
             noise = jax.random.normal(k_prop, mu.shape, mu.dtype)
-            x_next = mu + noise * jnp.sqrt(var + q)          # (P-1, D)
+            # clamp: fp32 cancellation can leave var slightly negative
+            x_next = mu + noise * jnp.sqrt(jnp.maximum(var + q, 0.0))
 
             w_free = logdensity_norm_diag(
                 y_t, emission_mean(x_next, params.c, params.d), rchol_diag)

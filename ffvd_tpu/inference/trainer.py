@@ -141,8 +141,14 @@ class Trainer:
 
     def init_state(self, params: GPSSMParams) -> TrainState:
         w = self.cfg.window_size
+        # Only SGHMC-labeled leaves are ever read back from the window
+        # (the reference windows only self.vars, base_model.py:927-933);
+        # other leaves get zero-size placeholders to keep the pytree shape.
         window = jax.tree.map(
-            lambda a: jnp.zeros((w,) + a.shape, a.dtype), params)
+            lambda l, a: (jnp.zeros((w,) + a.shape, a.dtype) if l == SGHMC
+                          else jnp.zeros((1,), a.dtype)),  # (1,): orbax
+            self.labels, params)                           # rejects size-0
+
         return TrainState(
             params=params,
             sghmc=sghmc_init(params),
@@ -187,10 +193,12 @@ class Trainer:
 
         if self.has_sghmc:
             params, sstate = self._sghmc_phase(params, sstate, k_sghmc, data)
-            # Window snapshot (base_model.py:927-933) as a ring buffer.
+            # Window snapshot (base_model.py:927-933) as a ring buffer
+            # over the SGHMC leaves only.
             idx = state.step % self.cfg.window_size
-            window = jax.tree.map(lambda w, p: w.at[idx].set(p),
-                                  state.window, params)
+            window = jax.tree.map(
+                lambda l, w, p: w.at[idx].set(p) if l == SGHMC else w,
+                self.labels, state.window, params)
             count = jnp.minimum(state.window_count + 1,
                                 self.cfg.window_size)
         else:
@@ -203,8 +211,9 @@ class Trainer:
         if self.has_adam:
             if self.has_sghmc:
                 i = jax.random.randint(k_feed, (), 0, jnp.maximum(count, 1))
-                sampled = jax.tree.map(lambda w: w[i], window)
-                feed = _select(self.labels, sampled, params, SGHMC)
+                feed = jax.tree.map(
+                    lambda l, w, p: w[i] if l == SGHMC else p,
+                    self.labels, window, params)
             else:
                 feed = params
             nll_val, grads = self.value_grad_fn(feed, data)

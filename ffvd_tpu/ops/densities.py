@@ -41,10 +41,11 @@ def logdensity_norm(y: jnp.ndarray, ymean: jnp.ndarray,
     """Row-wise un-normalized full-covariance Normal log density with lower
     Cholesky ``rchol`` (likelihoods.py:114-127).  y broadcastable to ymean
     (N, D); rchol (D, D) → (N,)."""
+    from jax.scipy.linalg import solve_triangular
     diff = (y - ymean)                                   # (N, D)
-    # solve L a = diffᵀ  → a = L⁻¹ diffᵀ
-    a = jnp.linalg.solve(
-        jnp.tril(rchol), diff.T.astype(rchol.dtype))      # (D, N)
+    # solve L a = diffᵀ  → a = L⁻¹ diffᵀ (triangular, not LU)
+    a = solve_triangular(jnp.tril(rchol), diff.T.astype(rchol.dtype),
+                         lower=True)                      # (D, N)
     exp_term = -0.5 * jnp.sum(a * a, axis=0)
     logdet = -jnp.sum(jnp.log(jnp.diagonal(rchol)))
     return exp_term + logdet

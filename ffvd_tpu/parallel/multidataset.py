@@ -128,7 +128,8 @@ class MultiDatasetTrainer:
         return jax.vmap(self.base.init_state)(params_stacked)
 
     def run(self, state: TrainState, num_iterations: int, key: jax.Array,
-            chunk_size: int = 500):
+            chunk_size: int = 500, nan_check: bool = True):
+        from ffvd_tpu.parallel.sharding import _check_finite
         traces = []
         done = 0
         while done < num_iterations:
@@ -136,6 +137,7 @@ class MultiDatasetTrainer:
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, n * self.k).reshape(n, self.k)
             state, nlls = self._run_chunk(state, keys, self.stacked_data)
+            _check_finite(nlls, done, "dataset", nan_check)
             traces.append(nlls)
             done += n
         return state, (jnp.concatenate(traces) if traces

@@ -55,9 +55,9 @@ def shard_sequence(state: TrainState, data: SSMData, mesh: Mesh):
     pspec = _params_seq_spec()
     from ffvd_tpu.inference.sghmc import SGHMCState
     sghmc = SGHMCState(xi=pspec, g=pspec, g2=pspec, p=pspec)
-    import dataclasses
+    # window holds only SGHMC leaves (zero-size placeholders elsewhere);
+    # it is small, so replicate it.
     window = jax.tree.map(lambda _: P(), state.window)
-    window = dataclasses.replace(window, x=P(None, "sp", None))
     adam = jax.tree.map(lambda a: P(), state.adam)
     specs = TrainState(params=pspec, sghmc=sghmc, adam=adam, window=window,
                        window_count=P(), step=P())
@@ -88,10 +88,12 @@ class SequenceShardedTrainer:
         self._step = jax.jit(trainer.outer_step)
 
     def run(self, state: TrainState, data: SSMData, num_iterations: int,
-            key: jax.Array):
+            key: jax.Array, nan_check: bool = True):
+        from ffvd_tpu.parallel.sharding import _check_finite
         state, data = shard_sequence(state, data, self.mesh)
         nlls = []
-        for k in jax.random.split(key, num_iterations):
+        for i, k in enumerate(jax.random.split(key, num_iterations)):
             state, nll = self._step(state, k, data)
+            _check_finite(nll[None, None], i, "step", nan_check)
             nlls.append(nll)
         return state, jnp.stack(nlls)

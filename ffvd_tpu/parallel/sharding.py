@@ -35,6 +35,17 @@ from ffvd_tpu.model.params import GPSSMParams, SSMData
 from ffvd_tpu.ops.kernels import KernelParams
 
 
+def _check_finite(nlls, done: int, axis_name: str, enabled: bool) -> None:
+    """Per-chunk failure detection for the parallel runners (same contract
+    as Trainer.run's nan_check)."""
+    if not enabled or bool(jnp.all(jnp.isfinite(nlls))):
+        return
+    bad = jnp.argwhere(~jnp.isfinite(nlls), size=1)[0]
+    raise FloatingPointError(
+        f"non-finite nll at iteration {done + int(bad[0])} in {axis_name} "
+        f"{int(bad[1])}; try fp64 or a larger jitter (cfg.jitter)")
+
+
 def make_mesh(n_devices: Optional[int] = None, ep: Optional[int] = None,
               x_dim: int = 4) -> Mesh:
     """Build a ('dp', 'ep') mesh.  'ep' (latent-dim sharding) defaults to the
@@ -131,7 +142,7 @@ class MultiChainTrainer:
         return stacked
 
     def run(self, state: TrainState, num_iterations: int, key: jax.Array,
-            chunk_size: int = 500):
+            chunk_size: int = 500, nan_check: bool = True):
         traces = []
         done = 0
         while done < num_iterations:
@@ -140,6 +151,7 @@ class MultiChainTrainer:
             keys = jax.random.split(sub, n * self.n_chains)
             keys = keys.reshape(n, self.n_chains)
             state, nlls = self._run_chunk(state, keys)
+            _check_finite(nlls, done, "chain", nan_check)
             traces.append(nlls)
             done += n
         return state, (jnp.concatenate(traces) if traces

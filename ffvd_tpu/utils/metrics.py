@@ -54,7 +54,9 @@ class MetricsLogger:
             record.setdefault(
                 "iters_per_sec",
                 (it - self._last_iter) / max(now - self._t0, 1e-9))
-        self._t0, self._last_iter = now, it
+            # only advance the rate clock on records that advance iterations,
+            # so interleaved metadata/eval records don't inflate the rate
+            self._t0, self._last_iter = now, it
         self.history.append(record)
         if self._fh:
             self._fh.write(json.dumps(record) + "\n")

@@ -127,6 +127,36 @@ class MultiDatasetTrainer:
     def init_state(self, params_stacked: GPSSMParams) -> TrainState:
         return jax.vmap(self.base.init_state)(params_stacked)
 
+    def evaluate(self, state: TrainState, datasets, lens, key: jax.Array,
+                 horizon: int = 30):
+        """Per-dataset posterior-rollout RMSE/NLL after stacked training.
+
+        ``datasets``: the per-dataset loader objects (with y_test /
+        y_train_std / control); ``lens``: true training lengths from
+        stack_datasets.  Each dataset's trained params are un-padded and
+        evaluated through the standard single-model pipeline.  For SGHMC
+        cases the eval thinning chain restarts its preconditioner state
+        (exact for the collapsed/pure-Adam stress config this path targets).
+        """
+        from ffvd_tpu.eval.rollout import (collect_posterior, predict_summary,
+                                           rmse_nll)
+        results = {}
+        for k, (ds, n) in enumerate(zip(datasets, lens)):
+            params_k = jax.tree.map(lambda a: a[k], state.params)
+            params_k = dataclasses.replace(params_k, x=params_k.x[:n + 1])
+            dtype = params_k.x.dtype
+            data_k = SSMData(y=jnp.asarray(ds.y_train, dtype),
+                             control=jnp.asarray(ds.control, dtype))
+            tr = Trainer(self.cfg, data_k)
+            st = tr.init_state(params_k)
+            key, sub = jax.random.split(key)
+            xs, vs, _ = collect_posterior(tr, st, ds.n_test, sub)
+            py, pv, _ = predict_summary(params_k, xs, vs)
+            rmse, nll = rmse_nll(jnp.asarray(ds.y_test, dtype), py, pv,
+                                 ds.y_train_std, horizon=horizon)
+            results[ds.name] = {"rmse": float(rmse), "nll": float(nll)}
+        return results
+
     def run(self, state: TrainState, num_iterations: int, key: jax.Array,
             chunk_size: int = 500, nan_check: bool = True):
         from ffvd_tpu.parallel.sharding import _check_finite

@@ -107,3 +107,22 @@ def test_collapsed_u_posterior_matches(golden):
                                rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.asarray(q_sqrt), golden["u_post_chol"],
                                rtol=1e-7, atol=1e-9)
+
+
+def test_fp32_elbo_consistent_with_fp64():
+    """Precision regression guard: the fp32 (TPU production) objective must
+    track the fp64 (parity) objective to ~1e-4 relative at the warm start."""
+    ds = create_dataset("ballbeam")
+    ws = dict(np.load(list_warmstarts("ballbeam")[3], allow_pickle=True))
+    p64 = init_params_from_warmstart(ws, dtype=jnp.float64)
+    p32 = init_params_from_warmstart(ws, dtype=jnp.float32)
+    d64 = SSMData(y=jnp.asarray(ds.y_train, jnp.float64),
+                  control=jnp.asarray(ds.control, jnp.float64))
+    d32 = SSMData(y=jnp.asarray(ds.y_train, jnp.float32),
+                  control=jnp.asarray(ds.control, jnp.float32))
+    for collapse in (True, False):
+        t64 = elbo_terms(p64, d64, u_collapse=collapse)
+        t32 = elbo_terms(p32, d32, u_collapse=collapse)
+        for k in t64:
+            np.testing.assert_allclose(float(t32[k]), float(t64[k]),
+                                       rtol=2e-4, atol=1e-5, err_msg=k)

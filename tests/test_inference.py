@@ -243,3 +243,58 @@ def test_clip_log_leaves_only_touches_log_paths():
     assert float(out.log_q[0]) == 30.0
     assert float(out.kernel.log_lengthscales[0, 0]) == 30.0
     assert clip_log_leaves(big, None) is big
+
+
+def test_pg_matches_kalman_filter_marginals():
+    """CSMC correctness against exact Gaussian inference: with kernel
+    variance → 0 the GP transition vanishes and the implied model is a
+    random walk x_{t+1}=x_t+w, y_t = x_{t+1}·C + d + v — conditionally
+    linear-Gaussian.  The reference's CSMC stores the RESAMPLED states per
+    time (no ancestor tracing), so the stored X[t+1] is a draw from the
+    FILTERING marginal p(x_{t+1} | y_{0:t}).  Average many PG draws and
+    compare with the exact Kalman filter means."""
+    n, p_obs = 24, 1
+    d = 1
+    q_var, r_var = 0.3, 0.05
+    rng2 = np.random.RandomState(9)
+    # simulate the random walk + emission
+    x_true = np.cumsum(np.sqrt(q_var) * rng2.randn(n + 1))
+    y = x_true[1:, None] + np.sqrt(r_var) * rng2.randn(n, 1)
+
+    from ffvd_tpu.model.params import GPSSMParams
+    from ffvd_tpu.ops.kernels import KernelParams
+    params = GPSSMParams(
+        x=jnp.zeros((n + 1, d)),
+        u=jnp.zeros((8, d)),
+        z=jnp.asarray(rng2.randn(8, d)),
+        kernel=KernelParams(log_variance=jnp.asarray([-30.0]),
+                            log_lengthscales=jnp.zeros((d, d))),
+        log_q=jnp.asarray([np.log(q_var)]),
+        c=jnp.ones((d, p_obs)),
+        d=jnp.zeros((p_obs,)),
+        log_rchol=jnp.asarray([[0.5 * np.log(r_var)]]))
+    data = SSMData(y=jnp.asarray(y), control=jnp.zeros((2 * n, 0)))
+
+    cfg = _mini_cfg(6, pg_particles=128)
+    pg = jax.jit(make_pg_fn(cfg, data))
+    draws = jax.vmap(lambda k: pg(params, k).x)(
+        jax.random.split(jax.random.key(0), 300))     # (300, n+1, 1)
+    # Some draws keep the (zero) reference trajectory (prob 1/P) — that is
+    # part of the sampler's output distribution; with P=128 the bias is <1%.
+    pg_mean = np.asarray(draws).mean(axis=0)[:, 0]
+
+    # exact Kalman filter for the implied model (x0 ~ N(0,1) like the
+    # initial particles; predict then update with y_t at x_{t+1})
+    means = np.zeros(n + 1)
+    m_f, p_f = 0.0, 1.0
+    means[0] = m_f
+    for t in range(n):
+        m_p, p_p = m_f, p_f + q_var
+        k_gain = p_p / (p_p + r_var)
+        m_f = m_p + k_gain * (y[t, 0] - m_p)
+        p_f = (1 - k_gain) * p_p
+        means[t + 1] = m_f
+
+    # filter std ≈ sqrt(p_f) ~ 0.2; MC error over 300 draws ~ 0.2/17 ≈ 0.013
+    err = np.abs(pg_mean[5:] - means[5:])
+    assert err.max() < 0.12, (err.max(), pg_mean[:6], means[:6])

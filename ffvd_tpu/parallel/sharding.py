@@ -100,6 +100,19 @@ def shard_chain_state(state: TrainState, mesh: Mesh) -> TrainState:
     return jax.device_put(state, shardings)
 
 
+def stack_warmstarts(dataset: str, file_ids, dtype=jnp.float32
+                     ) -> GPSSMParams:
+    """Stack several Factnonlin warm starts on a chain axis — the reference
+    runs its ~16 per-dataset warm starts as separate processes
+    (FFVD_Main.py:363,386); here they train as chains in one jit
+    (MultiChainTrainer) and the best posterior is picked afterwards."""
+    from ffvd_tpu.data import load_warmstart
+    from ffvd_tpu.model.params import init_params_from_warmstart
+    ps = [init_params_from_warmstart(load_warmstart(dataset, f), dtype=dtype)
+          for f in file_ids]
+    return jax.tree.map(lambda *a: jnp.stack(a), *ps)
+
+
 class MultiChainTrainer:
     """Run C independent FFVD chains in one jit over a ('dp','ep') mesh.
 

@@ -127,3 +127,11 @@ def test_multidataset_train_and_per_dataset_eval():
     assert set(res) == {"drive", "gas_furnace"}
     for v in res.values():
         assert np.isfinite(v["rmse"]) and v["rmse"] < 5.0
+
+
+def test_stack_warmstarts():
+    from ffvd_tpu.parallel.sharding import stack_warmstarts
+    stacked = stack_warmstarts("drive", [0, 1, 2], dtype=jnp.float64)
+    assert stacked.x.shape[0] == 3 and stacked.u.shape == (3, 100, 4)
+    # distinct warm starts
+    assert not np.allclose(np.asarray(stacked.u[0]), np.asarray(stacked.u[1]))

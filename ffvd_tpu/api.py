@@ -29,15 +29,22 @@ from ffvd_tpu.model.params import (GPSSMParams, SSMData, adapt_warmstart_xdim,
 class FFVDModel:
     """Config → data → warm start → fused trainer → posterior predictions."""
 
-    def __init__(self, cfg: FFVDConfig, dtype=None):
+    def __init__(self, cfg: FFVDConfig, dtype=None, dataset=None,
+                 params=None):
+        """``dataset``/``params`` may be injected (e.g. synthetic data from
+        ffvd_tpu.data.synthetic + a cold start from init_params_random);
+        by default the named dataset and its Factnonlin warm start load."""
         self.cfg = cfg
         if dtype is None:
             dtype = (jnp.float64 if jax.config.jax_enable_x64
                      else jnp.float32)
         self.dtype = dtype
-        self.dataset = create_dataset(cfg.dataset)
-        ws = load_warmstart(cfg.dataset, cfg.file_id)
-        params = init_params_from_warmstart(ws, dtype=dtype)
+        self.dataset = dataset if dataset is not None             else create_dataset(cfg.dataset)
+        if params is None:
+            ws = load_warmstart(cfg.dataset, cfg.file_id)
+            params = init_params_from_warmstart(ws, dtype=dtype)
+        else:
+            params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
         if cfg.x_dim != params.x_dim:
             params = adapt_warmstart_xdim(
                 params, cfg.x_dim,

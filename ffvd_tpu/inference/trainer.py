@@ -135,6 +135,10 @@ class Trainer:
                                 sanitize_grads(g, cfg.sghmc_grad_clip)),
                 self.tx)
 
+        # NOTE: no donate_argnums on the carried state — donation would
+        # invalidate the caller's initial params arrays (init_state embeds
+        # them), and with the SGHMC-only window the state is small enough
+        # that the copy is immaterial.
         self._run_chunk = jax.jit(self._run_chunk_impl)
 
     # -- state ------------------------------------------------------------

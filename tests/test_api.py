@@ -34,3 +34,21 @@ def test_fit_with_periodic_eval_and_per_sample():
     assert all(np.isfinite(r) and np.isfinite(n) for _, r, n in m.rmse_seq)
     rmses, nlls = m.evaluate_per_sample()
     assert len(rmses) == 3 and all(np.isfinite(r) for r in rmses)
+
+
+def test_model_with_injected_synthetic_dataset():
+    import jax
+    from ffvd_tpu.config import FFVDConfig
+    from ffvd_tpu.api import FFVDModel
+    from ffvd_tpu.data.synthetic import generate_kink
+    from ffvd_tpu.model.params import init_params_random
+
+    ds = generate_kink(n=50, seed=2)
+    params = init_params_random(jax.random.key(0), n=50, x_dim=1, m=10,
+                                control_dim=0)
+    cfg = FFVDConfig(case=4, num_inducing=10, x_dim=1,
+                     num_posterior_samples=3)
+    m = FFVDModel(cfg, dataset=ds, params=params)
+    m.fit(num_iterations=80, chunk_size=80)
+    res = m.evaluate(horizon=10)
+    assert np.isfinite(res["rmse"])

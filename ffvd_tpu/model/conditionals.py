@@ -116,6 +116,35 @@ def whitened_conditional(
     return mean, var.T
 
 
+def whitened_conditional_full_cov(
+    kernel_type: str,
+    kparams: KernelParams,
+    pre: Precal,
+    z: jnp.ndarray,
+    u: jnp.ndarray,
+    xnew: jnp.ndarray,
+    q_sqrt: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full-covariance variant (reference base_conditional with
+    full_cov=True, conditionals_multi_output.py:37-39,60-61; present in the
+    upstream API though every live call site uses full_cov=False):
+
+        mean (N, D),  cov (D, N, N) = Knn − AᵀA (+ AᵀLLᵀA)
+    """
+    a = projection(kernel_type, kparams, pre, z, xnew)        # (D, M, N)
+    knn = kops.gram(kernel_type, kparams, xnew)               # (D, N, N)
+    mean = jnp.einsum("dmn,md->nd", a, u, precision="highest",
+                      preferred_element_type=a.dtype)
+    cov = knn - jnp.einsum("dmn,dmk->dnk", a, a, precision="highest",
+                           preferred_element_type=a.dtype)
+    if q_sqrt is not None:
+        lta = jnp.einsum("dmk,dmn->dkn", q_sqrt, a, precision="highest",
+                         preferred_element_type=a.dtype)      # Lᵀ A
+        cov = cov + jnp.einsum("dkn,dkm->dnm", lta, lta, precision="highest",
+                               preferred_element_type=a.dtype)
+    return mean, cov
+
+
 def collapsed_bound_terms(
     kernel_type: str,
     kparams: KernelParams,

@@ -145,3 +145,32 @@ def test_determinantal_prior_logdet():
         + 1e-7 * np.eye(params.z.shape[0])
     expected = sum(np.linalg.slogdet(kmm[d])[1] for d in range(2))
     np.testing.assert_allclose(val, expected, rtol=1e-8)
+
+
+def test_full_cov_conditional_diag_matches_diag_variant():
+    from ffvd_tpu.model.conditionals import (kernel_precal,
+                                             whitened_conditional,
+                                             whitened_conditional_full_cov)
+    params, _ = small_model()
+    xq = jnp.asarray(rng.randn(5, 3))
+    pre = kernel_precal("SquaredExponential", params.kernel, params.z, 1e-5)
+    m = params.z.shape[0]
+    ls = np.stack([np.tril(rng.rand(m, m) * 0.3 + 0.1 * np.eye(m))
+                   for _ in range(2)])
+    for qs in (None, jnp.asarray(ls)):
+        mu_d, var_d = whitened_conditional("SquaredExponential",
+                                           params.kernel, pre, params.z,
+                                           params.u, xq, q_sqrt=qs)
+        mu_f, cov_f = whitened_conditional_full_cov(
+            "SquaredExponential", params.kernel, pre, params.z, params.u,
+            xq, q_sqrt=qs)
+        np.testing.assert_allclose(np.asarray(mu_f), np.asarray(mu_d),
+                                   rtol=1e-10)
+        diag = np.stack([np.diagonal(np.asarray(cov_f[d]))
+                         for d in range(2)]).T
+        np.testing.assert_allclose(diag, np.asarray(var_d), rtol=1e-7,
+                                   atol=1e-12)
+        # covariance is symmetric PSD-ish
+        np.testing.assert_allclose(np.asarray(cov_f),
+                                   np.asarray(cov_f).transpose(0, 2, 1),
+                                   atol=1e-10)

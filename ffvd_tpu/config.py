@@ -91,6 +91,11 @@ class FFVDConfig:
     # splittable/stable) or 'rbg' (hardware-friendly, ~1.5x faster sampler
     # throughput on TPU for SGHMC-heavy cases).
     prng_impl: str = "threefry2x32"
+    # Particle Gibbs: False = the reference's storage (resampled states per
+    # time, no ancestry — trajectories are filtering-marginal patchworks,
+    # base_model.py:83-133); True = proper ancestor-traced CSMC whose output
+    # is a coherent smoothing-posterior draw (beyond-parity upgrade).
+    pg_ancestor_trace: bool = False
     file_id: int = 3                # warm-start file selector (FFVD_Main.py:363)
     seed: int = 0
 

@@ -31,45 +31,57 @@ from ffvd_tpu.ops.densities import logdensity_norm_diag
 
 def make_pg_fn(cfg: FFVDConfig, data: SSMData = None) -> Callable:
     """Returns pg_fn(params, key, data=...) -> params with a resampled
-    trajectory.  ``data`` may be bound at construction or passed per call."""
+    trajectory.  ``data`` may be bound at construction or passed per call.
+
+    ``cfg.pg_ancestor_trace`` selects between the reference's storage (the
+    per-time RESAMPLED states, no ancestry — stored trajectories are
+    patchworks of filtering marginals) and a proper ancestor-traced CSMC
+    whose output is a coherent draw from the smoothing posterior (validated
+    against an exact RTS smoother in tests)."""
     kt, jitter = cfg.kernel_type, cfg.jitter
     pp = cfg.pg_particles
     bound_data = data
+    ancestor_trace = getattr(cfg, "pg_ancestor_trace", False)
 
-    def pg_fn(params: GPSSMParams, key: jax.Array,
-              data: SSMData = None) -> GPSSMParams:
-        data = bound_data if data is None else data
+    def _propagate(params, pre, x_t, ctrl, k_prop):
+        """GP transition for a (P-1, D) particle block."""
+        if ctrl.shape[0] > 0:
+            ctrl_b = jnp.broadcast_to(ctrl, (x_t.shape[0], ctrl.shape[0]))
+            xc = jnp.concatenate([x_t, ctrl_b], axis=1)
+        else:
+            xc = x_t
+        mu, var = whitened_conditional(kt, params.kernel, pre, params.z,
+                                       params.u, xc)
+        mu = mu + x_t                                        # identity mean
+        noise = jax.random.normal(k_prop, mu.shape, mu.dtype)
+        # clamp: fp32 cancellation can leave var slightly negative
+        return mu + noise * jnp.sqrt(jnp.maximum(var + params.q, 0.0))
+
+    def _weights(params, x_next, x_ref_next, y_t):
+        w_free = logdensity_norm_diag(
+            y_t, emission_mean(x_next, params.c, params.d),
+            params.rchol_diag)
+        w_ref = logdensity_norm_diag(
+            y_t, emission_mean(x_ref_next[None, :], params.c, params.d),
+            params.rchol_diag)
+        return jnp.concatenate([w_free, w_ref])              # (P,)
+
+    def pg_reference_style(params: GPSSMParams, key: jax.Array,
+                           data: SSMData) -> GPSSMParams:
+        """The reference's CSMC (base_model.py:78-141): store the resampled
+        states per time, pick a column uniformly at the end."""
         n = params.n_transitions
         d = params.x_dim
         k_init, k_scan, k_choice = jax.random.split(key, 3)
-
         pre = kernel_precal(kt, params.kernel, params.z, jitter)
         particles0 = jax.random.normal(k_init, (pp - 1, d), params.x.dtype)
         controls = data.control[:n]
-        rchol_diag = params.rchol_diag
-        q = params.q
 
         def step(x_t, inp):
             k, ctrl, y_t, x_ref_next = inp
             k_prop, k_res = jax.random.split(k)
-            if controls.shape[1] > 0:
-                ctrl_b = jnp.broadcast_to(ctrl, (pp - 1, ctrl.shape[0]))
-                xc = jnp.concatenate([x_t, ctrl_b], axis=1)
-            else:
-                xc = x_t
-            mu, var = whitened_conditional(kt, params.kernel, pre, params.z,
-                                           params.u, xc)
-            mu = mu + x_t                                    # identity mean
-            noise = jax.random.normal(k_prop, mu.shape, mu.dtype)
-            # clamp: fp32 cancellation can leave var slightly negative
-            x_next = mu + noise * jnp.sqrt(jnp.maximum(var + q, 0.0))
-
-            w_free = logdensity_norm_diag(
-                y_t, emission_mean(x_next, params.c, params.d), rchol_diag)
-            w_ref = logdensity_norm_diag(
-                y_t, emission_mean(x_ref_next[None, :], params.c, params.d),
-                rchol_diag)
-            logits = jnp.concatenate([w_free, w_ref])        # (P,)
+            x_next = _propagate(params, pre, x_t, ctrl, k_prop)
+            logits = _weights(params, x_next, x_ref_next, y_t)
             idx = jax.random.categorical(k_res, logits, shape=(pp - 1,))
             pool = jnp.concatenate([x_next, x_ref_next[None, :]], axis=0)
             resampled = pool[idx]                            # (P-1, D)
@@ -85,5 +97,60 @@ def make_pg_fn(cfg: FFVDConfig, data: SSMData = None) -> Callable:
         col = jnp.take(trajectory, jnp.minimum(choice, pp - 2), axis=1)
         new_x = jnp.where(choice < pp - 1, col, params.x)
         return dataclasses.replace(params, x=new_x)
+
+    def pg_ancestor_style(params: GPSSMParams, key: jax.Array,
+                          data: SSMData) -> GPSSMParams:
+        """Proper CSMC: resample parents, propagate from them, keep the
+        reference as particle P; backtrack ancestors from a weight-
+        proportional final draw → a coherent smoothing-posterior sample."""
+        n = params.n_transitions
+        d = params.x_dim
+        k_init, k_scan, k_choice = jax.random.split(key, 3)
+        pre = kernel_precal(kt, params.kernel, params.z, jitter)
+        particles0 = jnp.concatenate(
+            [jax.random.normal(k_init, (pp - 1, d), params.x.dtype),
+             params.x[0][None, :]], axis=0)                  # (P, D)
+        controls = data.control[:n]
+
+        def step(carry, inp):
+            x_t, logits_t = carry                            # (P,D), (P,)
+            k, ctrl, y_t, x_ref_next = inp
+            k_anc, k_prop = jax.random.split(k)
+            parents = jax.random.categorical(k_anc, logits_t,
+                                             shape=(pp - 1,))
+            x_par = x_t[parents]                             # (P-1, D)
+            x_next_free = _propagate(params, pre, x_par, ctrl, k_prop)
+            x_next = jnp.concatenate(
+                [x_next_free, x_ref_next[None, :]], axis=0)  # (P, D)
+            logits = _weights(params, x_next_free, x_ref_next, y_t)
+            anc = jnp.concatenate(
+                [parents, jnp.asarray([pp - 1])])            # ref keeps lane
+            return (x_next, logits), (x_next, anc, logits)
+
+        zero_logits = jnp.zeros((pp,), params.x.dtype)
+        keys = jax.random.split(k_scan, n)
+        (_, final_logits), (states, ancs, _) = jax.lax.scan(
+            step, (particles0, zero_logits),
+            (keys, controls, data.y, params.x[1:]))
+
+        j_final = jax.random.categorical(k_choice, final_logits)
+
+        def back(j, inp):
+            # carry j indexes states[t]; emit x_{t+1}^j, pass its parent on
+            x_t, anc_t = inp
+            return anc_t[j], x_t[j]
+
+        j0, xs = jax.lax.scan(back, j_final, (states, ancs), reverse=True)
+        # xs[t] = x_{t+1} of the selected lineage (scan writes outputs in
+        # forward index order); the final carry indexes the t=0 particles.
+        new_x = jnp.concatenate([particles0[j0][None, :], xs], axis=0)
+        return dataclasses.replace(params, x=new_x)
+
+    def pg_fn(params: GPSSMParams, key: jax.Array,
+              data: SSMData = None) -> GPSSMParams:
+        data = bound_data if data is None else data
+        if ancestor_trace:
+            return pg_ancestor_style(params, key, data)
+        return pg_reference_style(params, key, data)
 
     return pg_fn

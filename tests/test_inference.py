@@ -298,3 +298,54 @@ def test_pg_matches_kalman_filter_marginals():
     # filter std ≈ sqrt(p_f) ~ 0.2; MC error over 300 draws ~ 0.2/17 ≈ 0.013
     err = np.abs(pg_mean[5:] - means[5:])
     assert err.max() < 0.12, (err.max(), pg_mean[:6], means[:6])
+
+
+def test_pg_ancestor_trace_matches_rts_smoother():
+    """The ancestor-traced CSMC draws coherent trajectories from the
+    smoothing posterior: on the conditionally-Gaussian random-walk model its
+    marginal means must match the exact RTS smoother (the reference-style
+    storage matches the FILTER instead — see the companion test)."""
+    n = 24
+    q_var, r_var = 0.3, 0.05
+    rng2 = np.random.RandomState(9)
+    x_true = np.cumsum(np.sqrt(q_var) * rng2.randn(n + 1))
+    y = x_true[1:, None] + np.sqrt(r_var) * rng2.randn(n, 1)
+
+    from ffvd_tpu.model.params import GPSSMParams
+    from ffvd_tpu.ops.kernels import KernelParams
+    params = GPSSMParams(
+        x=jnp.zeros((n + 1, 1)),
+        u=jnp.zeros((8, 1)),
+        z=jnp.asarray(rng2.randn(8, 1)),
+        kernel=KernelParams(log_variance=jnp.asarray([-30.0]),
+                            log_lengthscales=jnp.zeros((1, 1))),
+        log_q=jnp.asarray([np.log(q_var)]),
+        c=jnp.ones((1, 1)), d=jnp.zeros((1,)),
+        log_rchol=jnp.asarray([[0.5 * np.log(r_var)]]))
+    data = SSMData(y=jnp.asarray(y), control=jnp.zeros((2 * n, 0)))
+
+    cfg = _mini_cfg(6, pg_particles=256, pg_ancestor_trace=True)
+    pg = jax.jit(make_pg_fn(cfg, data))
+    draws = jax.vmap(lambda k: pg(params, k).x)(
+        jax.random.split(jax.random.key(1), 400))
+    pg_mean = np.asarray(draws).mean(axis=0)[:, 0]
+
+    # Kalman filter + RTS smoother for x0 ~ N(0,1), RW(q), obs at x_{t+1}
+    mf = np.zeros(n + 1); pf = np.zeros(n + 1)
+    mp = np.zeros(n + 1); pp_ = np.zeros(n + 1)
+    mf[0], pf[0] = 0.0, 1.0
+    for t in range(n):
+        mp[t + 1] = mf[t]; pp_[t + 1] = pf[t] + q_var
+        k_g = pp_[t + 1] / (pp_[t + 1] + r_var)
+        mf[t + 1] = mp[t + 1] + k_g * (y[t, 0] - mp[t + 1])
+        pf[t + 1] = (1 - k_g) * pp_[t + 1]
+    ms = mf.copy()
+    for t in range(n - 1, -1, -1):
+        g = pf[t] / pp_[t + 1]
+        ms[t] = mf[t] + g * (ms[t + 1] - mp[t + 1])
+
+    err = np.abs(pg_mean - ms)
+    assert err.max() < 0.12, (err.max(), pg_mean[:5], ms[:5])
+    # and the smoother differs measurably from the filter at early times,
+    # so this test genuinely distinguishes the two storages
+    assert np.abs(ms[:5] - mf[:5]).max() > 0.15

@@ -9,14 +9,16 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-import sys
 import time
 
 if "--cpu" in sys.argv:
     import os
     os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
+
 if "--cpu" in sys.argv:
+    # the axon sitecustomize re-prepends the TPU platform, so the config
+    # update is needed in addition to the env var on this image
     jax.config.update("jax_platforms", "cpu")
 
 from ffvd_tpu import FFVDConfig

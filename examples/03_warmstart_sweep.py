@@ -36,9 +36,9 @@ print(f"{n} warm starts x {cfg.total_iterations} iterations in "
 
 key = jax.random.key(1)
 rmses = []
+tr = Trainer(cfg, data)      # one trainer → eval program compiles once
 for k in range(n):
     params_k = jax.tree.map(lambda a: a[k], state.params)
-    tr = Trainer(cfg, data)
     key, sub = jax.random.split(key)
     xs, vs, _ = collect_posterior(tr, tr.init_state(params_k), ds.n_test, sub)
     py, pv, _ = predict_summary(params_k, xs, vs)
@@ -46,4 +46,6 @@ for k in range(n):
                     ds.y_train_std)
     rmses.append(float(r))
 print("per-warm-start RMSE:", [round(r, 4) for r in rmses])
-print(f"best={min(rmses):.4f}  median={sorted(rmses)[n // 2]:.4f}")
+import statistics
+
+print(f"best={min(rmses):.4f}  median={statistics.median(rmses):.4f}")

@@ -41,7 +41,7 @@ def make_pg_fn(cfg: FFVDConfig, data: SSMData = None) -> Callable:
     kt, jitter = cfg.kernel_type, cfg.jitter
     pp = cfg.pg_particles
     bound_data = data
-    ancestor_trace = getattr(cfg, "pg_ancestor_trace", False)
+    ancestor_trace = cfg.pg_ancestor_trace
 
     def _propagate(params, pre, x_t, ctrl, k_prop):
         """GP transition for a (P-1, D) particle block."""

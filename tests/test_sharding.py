@@ -97,26 +97,12 @@ def test_sequence_sharded_matches_unsharded():
 def test_multidataset_train_and_per_dataset_eval():
     """Config-5 shape: stacked training then un-padded per-dataset eval."""
     from ffvd_tpu.data import create_dataset
-    from ffvd_tpu.data.warmstart import load_warmstart
-    from ffvd_tpu.model.params import init_params_from_warmstart
     from ffvd_tpu.parallel.multidataset import (MultiDatasetTrainer,
-                                                pad_dataset)
-    from ffvd_tpu.model.params import SSMData
+                                                stack_datasets)
 
     names = ["drive", "gas_furnace"]      # N = 250 / 148
-    datas, paramss, dsets, lens = [], [], [], []
-    for nm in names:
-        ds = create_dataset(nm)
-        p = init_params_from_warmstart(load_warmstart(nm, 3))
-        d = SSMData(y=jnp.asarray(ds.y_train),
-                    control=jnp.asarray(ds.control))
-        datas.append(d); paramss.append(p); dsets.append(ds)
-        lens.append(ds.n_train)
-    n_pad = max(lens)
-    padded = [pad_dataset(d, p, n_pad) for d, p in zip(datas, paramss)]
-    stack = lambda trees: jax.tree.map(lambda *a: jnp.stack(a), *trees)
-    sd = stack([d for d, _ in padded])
-    sp = stack([p for _, p in padded])
+    sd, sp, lens = stack_datasets(names, dtype=jnp.float64)
+    dsets = [create_dataset(nm) for nm in names]
 
     cfg = FFVDConfig(case=4, num_posterior_samples=3)
     mdt = MultiDatasetTrainer(cfg, sd)

@@ -161,9 +161,9 @@ class FFVDModel:
         xs, vs, self.state = collect_posterior(
             self.trainer, self.state, test_len, sub, num=s)
         ys = xs @ self.params.c + self.params.d
-        r = jnp.exp(jnp.diagonal(self.params.log_rchol))
         self.key, sub = jax.random.split(self.key)
-        noise = jax.random.normal(sub, ys.shape, ys.dtype) * r
+        # correlated emission noise ε = z·Lᵀ, R = L·Lᵀ (diag L for P=1)
+        noise = jax.random.normal(sub, ys.shape, ys.dtype) @ self.params.rchol.T
         return np.asarray(ys + noise)
 
     def save_results(self, path, case: Optional[str] = None):

@@ -96,6 +96,11 @@ class FFVDConfig:
     # base_model.py:83-133); True = proper ancestor-traced CSMC whose output
     # is a coherent smoothing-posterior draw (beyond-parity upgrade).
     pg_ancestor_trace: bool = False
+    # Emission noise model: "auto" = diagonal R for P=1 observations, full
+    # lower-Cholesky R for P>1 (the reference's logdensity_norm path,
+    # likelihoods.py:114-127, made live — its own P>1 ELBO is broken,
+    # dgp_model.py:250).  "diag"/"full" force one or the other.
+    emission_noise: str = "auto"
     file_id: int = 3                # warm-start file selector (FFVD_Main.py:363)
     seed: int = 0
 
@@ -106,6 +111,8 @@ class FFVDConfig:
             raise ValueError(f"invalid kernel_type {self.kernel_type!r}")
         if self.case not in CASE_TABLE:
             raise ValueError(f"invalid case {self.case}")
+        if self.emission_noise not in ("auto", "diag", "full"):
+            raise ValueError(f"invalid emission_noise {self.emission_noise!r}")
 
     @property
     def case_config(self) -> CaseConfig:

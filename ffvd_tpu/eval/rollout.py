@@ -166,7 +166,7 @@ def predict_summary(params: GPSSMParams, predict_x: jnp.ndarray,
     c, d = params.c, params.d
     y_s = predict_x @ c + d                           # (S, T, P)
     v_s = predict_x_var @ (c * c)                     # (S, T, P)
-    r2 = jnp.exp(2.0 * jnp.diagonal(params.log_rchol))
+    r2 = params.r_var_diag   # diag(R); = exp(2·diag log_rchol) for diag R
     predict_y = jnp.mean(y_s, axis=0)
     predict_y_var = jnp.mean(v_s, axis=0) + r2
     fit_y = emission_mean(params.x[1:], c, d)

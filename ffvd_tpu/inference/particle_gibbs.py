@@ -26,7 +26,7 @@ from ffvd_tpu.config import FFVDConfig
 from ffvd_tpu.model.conditionals import kernel_precal, whitened_conditional
 from ffvd_tpu.model.likelihoods import emission_mean
 from ffvd_tpu.model.params import GPSSMParams, SSMData
-from ffvd_tpu.ops.densities import logdensity_norm_diag
+from ffvd_tpu.ops.densities import logdensity_norm, logdensity_norm_diag
 
 
 def make_pg_fn(cfg: FFVDConfig, data: SSMData = None) -> Callable:
@@ -42,6 +42,7 @@ def make_pg_fn(cfg: FFVDConfig, data: SSMData = None) -> Callable:
     pp = cfg.pg_particles
     bound_data = data
     ancestor_trace = cfg.pg_ancestor_trace
+    emission_noise = cfg.emission_noise
 
     def _propagate(params, pre, x_t, ctrl, k_prop):
         """GP transition for a (P-1, D) particle block."""
@@ -58,12 +59,16 @@ def make_pg_fn(cfg: FFVDConfig, data: SSMData = None) -> Callable:
         return mu + noise * jnp.sqrt(jnp.maximum(var + params.q, 0.0))
 
     def _weights(params, x_next, x_ref_next, y_t):
-        w_free = logdensity_norm_diag(
-            y_t, emission_mean(x_next, params.c, params.d),
-            params.rchol_diag)
-        w_ref = logdensity_norm_diag(
-            y_t, emission_mean(x_ref_next[None, :], params.c, params.d),
-            params.rchol_diag)
+        p_dim = params.c.shape[1]
+        if emission_noise == "full" or (emission_noise == "auto"
+                                        and p_dim > 1):
+            def logp(mean):
+                return logdensity_norm(y_t, mean, params.rchol)
+        else:
+            def logp(mean):
+                return logdensity_norm_diag(y_t, mean, params.rchol_diag)
+        w_free = logp(emission_mean(x_next, params.c, params.d))
+        w_ref = logp(emission_mean(x_ref_next[None, :], params.c, params.d))
         return jnp.concatenate([w_free, w_ref])              # (P,)
 
     def pg_reference_style(params: GPSSMParams, key: jax.Array,

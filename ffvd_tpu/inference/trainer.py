@@ -112,7 +112,8 @@ class Trainer:
         self.nll_fn = functools.partial(
             negative_elbo,
             kernel_type=cfg.kernel_type, prior_type=cfg.prior_type,
-            u_collapse=cfg.case_config.u_collapse, jitter=cfg.jitter)
+            u_collapse=cfg.case_config.u_collapse, jitter=cfg.jitter,
+            emission_noise=cfg.emission_noise)
         self.grad_fn = jax.grad(self.nll_fn)
         self.value_grad_fn = jax.value_and_grad(self.nll_fn)
 

@@ -26,7 +26,7 @@ from ffvd_tpu.model import conditionals as cond
 from ffvd_tpu.model import priors
 from ffvd_tpu.model.likelihoods import emission_mean
 from ffvd_tpu.model.params import GPSSMParams, SSMData
-from ffvd_tpu.ops.densities import (logdensity_norm_diag,
+from ffvd_tpu.ops.densities import (logdensity_norm, logdensity_norm_diag,
                                     logdensity_norm_diag_nonvec)
 
 
@@ -44,7 +44,8 @@ def elbo_terms(params: GPSSMParams, data: SSMData, *,
                kernel_type: str = "SquaredExponential",
                prior_type: str = "normal",
                u_collapse: bool = True,
-               jitter: float = 1e-5) -> Dict[str, jnp.ndarray]:
+               jitter: float = 1e-5,
+               emission_noise: str = "auto") -> Dict[str, jnp.ndarray]:
     """All nll terms.  Returns a dict whose 'nll' entry is the objective."""
     n = params.n_transitions
     mask = data.mask
@@ -62,9 +63,16 @@ def elbo_terms(params: GPSSMParams, data: SSMData, *,
     batch = y_n
     q = params.q
 
-    # Emission term (dgp_model.py:248-250, :264).
+    # Emission term (dgp_model.py:248-250, :264).  "full" uses the full
+    # lower-Cholesky R (the reference's logdensity_norm, likelihoods.py:114-127
+    # — present upstream but never wired into a working P>1 ELBO, see
+    # GPSSMParams.rchol); "auto" selects it whenever P > 1.
     y_mean = emission_mean(params.x[1:], params.c, params.d)
-    log_lik = msum(logdensity_norm_diag(data.y, y_mean, params.rchol_diag))
+    p_dim = params.c.shape[1]
+    if emission_noise == "full" or (emission_noise == "auto" and p_dim > 1):
+        log_lik = msum(logdensity_norm(data.y, y_mean, params.rchol))
+    else:
+        log_lik = msum(logdensity_norm_diag(data.y, y_mean, params.rchol_diag))
     nll_log_likelihood = -log_lik / batch
 
     # Priors (dgp_model.py:252, :286/:296, :326-334).

@@ -58,5 +58,5 @@ class Bernoulli:
     def variational_expectations(self, fmu, fvar, y):
         """∫ log p(y|f) N(f; fmu, fvar) df via Gauss-Hermite
         (likelihoods.py:169-185)."""
-        return ndiagquad(lambda f: self.logp(f, y),
-                         self.num_gauss_hermite_points, fmu, fvar)
+        return ndiagquad(lambda f, Y: self.logp(f, Y),
+                         self.num_gauss_hermite_points, fmu, fvar, Y=y)

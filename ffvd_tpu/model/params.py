@@ -52,6 +52,36 @@ class GPSSMParams:
         return jnp.exp(jnp.diagonal(self.log_rchol))
 
     @property
+    def rchol(self) -> jnp.ndarray:
+        """Full lower-triangular emission-noise Cholesky L, R = L·Lᵀ.
+
+        Parameterization: diagonal stored in log (exponentiated here),
+        strictly-lower triangle stored raw, upper triangle ignored.  For
+        P=1 this reduces to exp(log_rchol), the reference's 1-D path
+        (likelihoods.py:45-55).  The reference's multi-D branch builds the
+        same lower-tri-plus-exp-diag matrix (likelihoods.py:56-61) but its
+        ELBO never uses it correctly (dgp_model.py:250 indexes Rchols[0] —
+        a Cholesky ROW — into the diagonal density); here full-R is a live,
+        trainable emission model (elbo.py, emission_noise="full").
+        """
+        lower = jnp.tril(self.log_rchol, -1)
+        return lower + jnp.diag(jnp.exp(jnp.diagonal(self.log_rchol)))
+
+    @property
+    def r_var_diag(self) -> jnp.ndarray:
+        """Per-dimension marginal emission variances diag(R) = diag(L·Lᵀ).
+
+        Equals rchol_diag² when the strictly-lower triangle is zero (every
+        P=1 configuration), so diag-mode consumers can use it unchanged.
+        """
+        l = self.rchol
+        return jnp.sum(l * l, axis=1)
+
+    @property
+    def p_dim(self) -> int:
+        return self.c.shape[1]
+
+    @property
     def n_transitions(self) -> int:
         return self.x.shape[0] - 1
 
@@ -187,5 +217,6 @@ def init_params_random(key: jax.Array, n: int, x_dim: int, m: int,
         log_q=jnp.full((x_dim,), jnp.log(0.1), dtype=dtype),
         c=jnp.ones((x_dim, p), dtype=dtype),
         d=jnp.zeros((p,), dtype=dtype),
-        log_rchol=jnp.full((p, p), 0.5 * jnp.log(0.1), dtype=dtype),
+        # diag in log (std √0.1), strictly-lower raw zeros (see .rchol)
+        log_rchol=jnp.eye(p, dtype=dtype) * (0.5 * jnp.log(0.1)),
     )

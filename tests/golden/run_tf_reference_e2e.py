@@ -6,6 +6,13 @@ reference"): since the reference is non-deterministic (seeds never called,
 SURVEY.md §2.7), parity is judged against these recorded runs statistically.
 
 Usage: python tests/golden/run_tf_reference_e2e.py [dataset] [cli_iters] [case]
+           [test_len] [tag]
+
+test_len: rollout length for eval (default: full test set).  The recorded
+RMSE/NLL metrics use only the first 30 test points (base_model.py:345-349),
+so test_len=30 yields statistically identical metrics ~16x faster (the
+reference's eval builds O(num*test_len*D) graph ops in Python).
+tag: optional suffix for the JSON key (e.g. seed repeats: "seed1").
 """
 
 import json
@@ -21,7 +28,7 @@ import tensorflow as tf
 OUT = Path(__file__).parent / "tf_reference_e2e.json"
 
 
-def run(dataset="ballbeam", cli_iters=2000, case_val=4):
+def run(dataset="ballbeam", cli_iters=2000, case_val=4, test_len=None):
     from ffvd_tpu.data import create_dataset, list_warmstarts
     from vfegpssm.dgp_model import DGPSSM
     from vfegpssm.kernels_multi_output import SquaredExponential
@@ -34,10 +41,12 @@ def run(dataset="ballbeam", cli_iters=2000, case_val=4):
     din = ws["Z_val"].shape[1]
     m = ws["Z_val"].shape[0]
     control = tf.convert_to_tensor(ds.control, dtype=tf.float64)
+    # Case table exactly as FFVD_Main.py:273-324.
     u_collapse = case_val in (4, 5)
     kernel_opt = case_val in (1, 4, 6)
     u_opt = case_val in (1, 6)
     z_opt = case_val != 3
+    x_pg = case_val == 6
 
     kerns = [[SquaredExponential(din, ARD=True, variance=ws["kernel_variance"][k],
                                  lengthscales=ws["kernel_lengthscales"][k],
@@ -58,7 +67,7 @@ def run(dataset="ballbeam", cli_iters=2000, case_val=4):
         kernel_train_flag=True, U_ini=ws["Umu_ini"].T,
         X_0_ini=ws["qx1_mu_ini"],
         X_train_ini=np.mean(ws["x_samples_training"], axis=1),
-        X_PG=False, PG_particles=100, hyperparameter_sampling=False,
+        X_PG=x_pg, PG_particles=100, hyperparameter_sampling=False,
         kernel_optimization=kernel_opt, U_optimization=u_opt,
         U_collapse=u_collapse, Z_optimization=z_opt, case_val=case_val)
 
@@ -67,6 +76,8 @@ def run(dataset="ballbeam", cli_iters=2000, case_val=4):
     total = 2 * cli_iters
     for i in range(total):
         model.sghmc_step()
+        if x_pg:
+            model.gp_x_sampling()  # models.py:156-158
         model.train_hypers()
         if (i + 1) % 500 == 0:
             nll = model.session.run(model.nll, feed_dict=feed)
@@ -75,13 +86,24 @@ def run(dataset="ballbeam", cli_iters=2000, case_val=4):
     train_time = time.time() - t0
     final_nll = float(model.session.run(model.nll, feed_dict=feed))
 
+    if test_len is None:
+        test_len = len(ds.y_test)
     t1 = time.time()
-    model.collect_samples_formal(
-        10, 32, control, test_len=len(ds.y_test),
-        sghmc_var_len=len(model.vars), U_collapse=u_collapse,
-        Y_test=ds.y_test, Y_train_std=ds.y_train_std,
-        save_path_file=str(Path(__file__).parent / f"tf_ref_{dataset}"),
-        Y_train=ds.y_train, case=f"C{case_val}")
+    try:
+        model.collect_samples_formal(
+            10, 32, control, test_len=test_len,
+            sghmc_var_len=len(model.vars), U_collapse=u_collapse,
+            Y_test=ds.y_test, Y_train_std=ds.y_train_std,
+            save_path_file=str(Path(__file__).parent
+                               / f"tf_ref_{dataset}_C{case_val}"),
+            Y_train=ds.y_train, case=f"C{case_val}")
+    except ValueError as e:
+        # The reference's own results-npz writer crashes on ragged SGHMC
+        # window arrays (base_model.py:512, nonempty self.vars cases).
+        # RMSE_val / predict_y / predict_y_var are computed before the save
+        # (base_model.py:340-349), so the metrics below are unaffected.
+        print(f"reference npz save failed (metrics unaffected): {e}",
+              flush=True)
     eval_time = time.time() - t1
     rmse = float(model.RMSE_val)
     # NLL like the dead collect_samples_2023 path (base_model.py:629).
@@ -92,7 +114,8 @@ def run(dataset="ballbeam", cli_iters=2000, case_val=4):
     nll_metric = float(-np.mean(norm.logpdf(yt30, yp30, np.sqrt(vp30))))
     model.session.close()
     return {"dataset": dataset, "case": f"C{case_val}",
-            "cli_iters": cli_iters, "train_time_sec": train_time,
+            "cli_iters": cli_iters, "test_len": test_len,
+            "train_time_sec": train_time,
             "eval_time_sec": eval_time, "final_nll": final_nll,
             "rmse": rmse, "nll_metric": nll_metric}
 
@@ -101,9 +124,12 @@ def main():
     dataset = sys.argv[1] if len(sys.argv) > 1 else "ballbeam"
     iters = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
     case = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    rec = run(dataset, iters, case)
+    test_len = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    tag = sys.argv[5] if len(sys.argv) > 5 else None
+    rec = run(dataset, iters, case, test_len)
     all_rec = json.loads(OUT.read_text()) if OUT.exists() else {}
-    all_rec[f"{dataset}_C{case}"] = rec
+    key = f"{dataset}_C{case}" + (f"_{tag}" if tag else "")
+    all_rec[key] = rec
     OUT.write_text(json.dumps(all_rec, indent=2))
     print(json.dumps(rec, indent=2))
 

@@ -101,7 +101,8 @@ def main(argv=None):
         prior_type=args.prior_type, kernel_type=args.kernel_type,
         kernel_train_flag=args.kernel_train_flag, file_id=args.file_id,
         hyperparameter_sampling=args.hyperparameter_sampling,
-        prng_impl=args.prng_impl, pg_particles=100, seed=args.seed)
+        prng_impl=args.prng_impl, pg_particles=100, seed=args.seed,
+        minibatch_size=args.minibatch_size)
 
     print(f"#### {dataset} | case C{cfg.case} | {platform} {precision} ####")
 

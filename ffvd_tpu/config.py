@@ -96,6 +96,13 @@ class FFVDConfig:
     # base_model.py:83-133); True = proper ancestor-traced CSMC whose output
     # is a coherent smoothing-posterior draw (beyond-parity upgrade).
     pg_ancestor_trace: bool = False
+    # Random-window minibatch training: size of the time window per gradient
+    # evaluation (None = full batch, the reference's only exercised mode).
+    # The reference carries the plumbing (batch_placeholder base_model.py:16,
+    # the batch_size≠Y_N H-scaling conditionals_multi_output.py:246-248) but
+    # get_minibatch always returns the full range (base_model.py:188-194);
+    # here windows are sampled uniformly per gradient evaluation.
+    minibatch_size: Optional[int] = None
     # Emission noise model: "auto" = diagonal R for P=1 observations, full
     # lower-Cholesky R for P>1 (the reference's logdensity_norm path,
     # likelihoods.py:114-127, made live — its own P>1 ELBO is broken,
@@ -113,6 +120,8 @@ class FFVDConfig:
             raise ValueError(f"invalid case {self.case}")
         if self.emission_noise not in ("auto", "diag", "full"):
             raise ValueError(f"invalid emission_noise {self.emission_noise!r}")
+        if self.minibatch_size is not None and self.minibatch_size < 1:
+            raise ValueError("minibatch_size must be >= 1 or None")
 
     @property
     def case_config(self) -> CaseConfig:

@@ -35,7 +35,7 @@ import optax
 
 from ffvd_tpu.config import ADAM, SGHMC, FFVDConfig, partition_for
 from ffvd_tpu.inference.sghmc import SGHMCState, sghmc_init, sghmc_step
-from ffvd_tpu.model.elbo import negative_elbo
+from ffvd_tpu.model.elbo import negative_elbo, windowed_negative_elbo
 from ffvd_tpu.model.params import GPSSMParams, SSMData
 from ffvd_tpu.ops.kernels import KernelParams
 
@@ -117,6 +117,27 @@ class Trainer:
         self.grad_fn = jax.grad(self.nll_fn)
         self.value_grad_fn = jax.value_and_grad(self.nll_fn)
 
+        # Random-window minibatch objective (cfg.minibatch_size): training
+        # phases evaluate gradients on a fresh uniform window per gradient
+        # evaluation; evaluation/thinning (rollout.py) stays full-batch like
+        # the reference's collect-time feeds.
+        self.window_n = cfg.minibatch_size
+        if (self.window_n is not None
+                and self.window_n >= data.y.shape[0]):
+            # A window covering the whole sequence IS full batch — also the
+            # reference's effective default (its --minibatch_size 1000
+            # exceeds every stock dataset).
+            self.window_n = None
+        if self.window_n is not None:
+            win_nll = functools.partial(
+                windowed_negative_elbo,
+                window_n=self.window_n,
+                kernel_type=cfg.kernel_type, prior_type=cfg.prior_type,
+                u_collapse=cfg.case_config.u_collapse, jitter=cfg.jitter,
+                emission_noise=cfg.emission_noise)
+            self._win_grad = jax.grad(win_nll)
+            self._win_value_grad = jax.value_and_grad(win_nll)
+
         # Effective Adam lr: 0.003·0.95^(global_step/1000) evaluated at the
         # constant global_step=1 the reference always passes
         # (base_model.py:188-194).
@@ -141,6 +162,24 @@ class Trainer:
         # them), and with the SGHMC-only window the state is small enough
         # that the copy is immaterial.
         self._run_chunk = jax.jit(self._run_chunk_impl)
+
+    # -- training-time gradient (windowed when minibatching) ----------------
+
+    def _draw_start(self, key: jax.Array, data: SSMData) -> jnp.ndarray:
+        return jax.random.randint(
+            key, (), 0, data.y.shape[0] - self.window_n + 1)
+
+    def _train_grad(self, params, data, key):
+        """Gradient for one training sub-step; fresh window per evaluation."""
+        if self.window_n is None:
+            return self.grad_fn(params, data)
+        return self._win_grad(params, data, self._draw_start(key, data))
+
+    def _train_value_grad(self, params, data, key):
+        if self.window_n is None:
+            return self.value_grad_fn(params, data)
+        return self._win_value_grad(params, data,
+                                    self._draw_start(key, data))
 
     # -- state ------------------------------------------------------------
 
@@ -177,8 +216,9 @@ class Trainer:
 
         def body(carry, inp):
             flag, k = inp
+            k, k_win = jax.random.split(k)
             p, s = carry
-            grads = sanitize_grads(self.grad_fn(p, data), gclip)
+            grads = sanitize_grads(self._train_grad(p, data, k_win), gclip)
             p2, s2 = sghmc_step(
                 p, grads, s, k, epsilon=self.cfg.epsilon,
                 mdecay=self.cfg.mdecay, x_n=x_n, burn_in=flag)
@@ -214,6 +254,7 @@ class Trainer:
 
         adam_state = state.adam
         if self.has_adam:
+            k_feed, k_win = jax.random.split(k_feed)
             if self.has_sghmc:
                 i = jax.random.randint(k_feed, (), 0, jnp.maximum(count, 1))
                 feed = jax.tree.map(
@@ -221,7 +262,7 @@ class Trainer:
                     self.labels, window, params)
             else:
                 feed = params
-            nll_val, grads = self.value_grad_fn(feed, data)
+            nll_val, grads = self._train_value_grad(feed, data, k_win)
             updates, adam_state = self.tx.update(grads, adam_state, params)
             params = optax.apply_updates(params, updates)
         else:

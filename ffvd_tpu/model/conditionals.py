@@ -154,11 +154,17 @@ def collapsed_bound_terms(
     xc: jnp.ndarray,
     q: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    gram_scale: float = 1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """The three collapsed-bound pieces (reference:
     ``collapse_after_kernel_precalculation``, conditionals_multi_output.py:
     230-257), full-batch (batch_size = Y_N, so the reference's
     /(batch·Q)·Y_N scaling reduces to /Q).
+
+    ``gram_scale``: the reference's minibatch factor Y_N/batch_size applied
+    to the H-gram and the a-vector (conditionals_multi_output.py:246-248) —
+    1.0 for full batch.  The trace term is deliberately NOT scaled, matching
+    the reference (:255 sums the batch rows unscaled).
 
     With F̃_d = Aᵀ (N, M), H_d = F̃ᵀF̃/Q_d + I, a_d = F̃ᵀ Δx_d / Q_d:
 
@@ -181,11 +187,12 @@ def collapsed_bound_terms(
 
     m = z.shape[0]
     eye = jnp.eye(m, dtype=a.dtype)
-    h = (jnp.einsum("dmn,dkn->dmk", a, a, precision="highest",
-                    preferred_element_type=a.dtype)
+    h = (gram_scale * jnp.einsum("dmn,dkn->dmk", a, a, precision="highest",
+                                 preferred_element_type=a.dtype)
          / q[:, None, None] + eye)                            # (D, M, M)
-    avec = jnp.einsum("dmn,nd->dm", a, dx, precision="highest",
-                      preferred_element_type=a.dtype) / q[:, None]
+    avec = gram_scale * jnp.einsum("dmn,nd->dm", a, dx, precision="highest",
+                                   preferred_element_type=a.dtype) \
+        / q[:, None]
 
     chol_h, hinv_l = cholops.chol_and_inv(h)
     term1 = 0.5 * jnp.sum(cholops.chol_logdet(chol_h))

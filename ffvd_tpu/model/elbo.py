@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 from ffvd_tpu.model import conditionals as cond
@@ -126,3 +127,108 @@ def elbo_terms(params: GPSSMParams, data: SSMData, *,
 def negative_elbo(params: GPSSMParams, data: SSMData, **kw) -> jnp.ndarray:
     """Scalar objective (reference's ``self.nll``, dgp_model.py:288/:297)."""
     return elbo_terms(params, data, **kw)["nll"]
+
+
+def windowed_elbo_terms(params: GPSSMParams, data: SSMData,
+                        start: jnp.ndarray, window_n: int, *,
+                        kernel_type: str = "SquaredExponential",
+                        prior_type: str = "normal",
+                        u_collapse: bool = True,
+                        jitter: float = 1e-5,
+                        emission_noise: str = "auto") -> Dict[str, jnp.ndarray]:
+    """Minibatch (random time window) objective — the reference's
+    batch_placeholder semantics made live.
+
+    The reference carries full minibatch plumbing (``batch_placeholder``
+    base_model.py:16, batch slicing dgp_model.py:248-284, the
+    batch_size≠Y_N scaling conditionals_multi_output.py:246-248) but
+    ``get_minibatch`` always returns the full range (base_model.py:188-194),
+    so the path is dead upstream.  Semantics, with b0=start,
+    b1=start+window_n+1, batch=window_n, Y_N=N (dgp_model.py:262-263):
+
+    - emission / x-dynamics terms: window sums / batch;
+    - collapsed H-gram and a-vector scaled by Y_N/batch (:246-248), logdet
+      and quadratic terms / Y_N;
+    - trace term: window sum / Y_N (unscaled — the reference's exact choice,
+      a batch/Y_N-biased estimator of the full trace term);
+    - priors (incl. prior_x0 on the GLOBAL x₀): / Y_N, window-independent.
+
+    At window_n == N (start=0) this reproduces ``elbo_terms`` exactly
+    (pinned in tests/test_minibatch.py).  ``start`` may be a traced index;
+    ``window_n`` must be static.  Masked (padded) data is unsupported here.
+    """
+    if data.mask is not None:
+        raise NotImplementedError("windowed training with masked data")
+    n = params.n_transitions
+    y_n = jnp.asarray(float(n), dtype=params.x.dtype)
+    batch = jnp.asarray(float(window_n), dtype=params.x.dtype)
+    q = params.q
+
+    # Window slices: x rows [start, start+window_n], y/control rows
+    # [start, start+window_n) (dgp_model.py:248-284).
+    x_win = jax.lax.dynamic_slice_in_dim(params.x, start, window_n + 1)
+    y_win = jax.lax.dynamic_slice_in_dim(data.y, start, window_n)
+
+    y_mean = emission_mean(x_win[1:], params.c, params.d)
+    p_dim = params.c.shape[1]
+    if emission_noise == "full" or (emission_noise == "auto" and p_dim > 1):
+        log_lik = jnp.sum(logdensity_norm(y_win, y_mean, params.rchol))
+    else:
+        log_lik = jnp.sum(logdensity_norm_diag(y_win, y_mean,
+                                               params.rchol_diag))
+    nll_log_likelihood = -log_lik / batch
+
+    hyper_prior = priors.hyperparameter_prior(params.log_q, params.c,
+                                              params.d, params.log_rchol)
+    part_prior = (priors.prior_hyper(kernel_type, params.kernel)
+                  + priors.prior_z(prior_type, kernel_type, params.kernel,
+                                   params.z)
+                  + priors.prior_x0(params.x[0])
+                  + hyper_prior)
+
+    if data.control.shape[1] > 0:
+        ctrl_win = jax.lax.dynamic_slice_in_dim(data.control, start, window_n)
+        xc = jnp.concatenate([x_win[:-1], ctrl_win], axis=1)
+    else:
+        xc = x_win[:-1]
+    pre = cond.kernel_precal(kernel_type, params.kernel, params.z, jitter)
+
+    terms: Dict[str, jnp.ndarray] = {}
+    if u_collapse:
+        term1, term2, trace = cond.collapsed_bound_terms(
+            kernel_type, params.kernel, pre, params.z, x_win, xc, q,
+            gram_scale=float(n) / float(window_n))
+        later_term1 = term1 / y_n
+        later_term2 = term2 / y_n
+        nll_trace = trace / y_n
+        x_t_prior_q = -jnp.sum(logdensity_norm_diag_nonvec(
+            x_win[1:], x_win[:-1], jnp.sqrt(q))) / batch
+        nll_part_prior = -part_prior / y_n
+        nll = (nll_part_prior + nll_log_likelihood + x_t_prior_q
+               + nll_trace + later_term1 + later_term2)
+        terms.update(later_term1=later_term1, later_term2=later_term2)
+    else:
+        mean, var = cond.whitened_conditional(
+            kernel_type, params.kernel, pre, params.z, params.u, xc)
+        mean = mean + x_win[:-1]
+        reg_trace = -0.5 * jnp.sum(var / q[None, :], axis=1)
+        reg_x_prior = logdensity_norm_diag(x_win[1:], mean, jnp.sqrt(q))
+        nll_trace = -jnp.sum(reg_trace) / batch
+        x_t_prior_q = -jnp.sum(reg_x_prior) / batch
+        nll_part_prior = -(part_prior + priors.prior_u(params.u)) / y_n
+        nll = nll_part_prior + nll_log_likelihood + x_t_prior_q + nll_trace
+
+    terms.update(
+        nll_log_likelihood=nll_log_likelihood,
+        nll_part_prior=nll_part_prior,
+        x_t_prior_Q=x_t_prior_q,
+        nll_reg_trace_inverse_Q_B=nll_trace,
+        nll=nll,
+    )
+    return terms
+
+
+def windowed_negative_elbo(params: GPSSMParams, data: SSMData,
+                           start: jnp.ndarray, window_n: int,
+                           **kw) -> jnp.ndarray:
+    return windowed_elbo_terms(params, data, start, window_n, **kw)["nll"]

@@ -80,20 +80,33 @@ def shard_sequence(state: TrainState, data: SSMData, mesh: Mesh):
 
 
 class SequenceShardedTrainer:
-    """Trainer whose per-step program runs with the time axis sharded."""
+    """Trainer whose per-step program runs with the time axis sharded.
+
+    The run path is the same chunked ``lax.scan`` as ``Trainer.run`` (one
+    device dispatch and one host sync per chunk, not per iteration) with an
+    identical key schedule, so a sharded run reproduces an unsharded
+    ``Trainer.run`` exactly (tests/test_sharding.py)."""
 
     def __init__(self, trainer: Trainer, mesh: Mesh):
         self.trainer = trainer
         self.mesh = mesh
-        self._step = jax.jit(trainer.outer_step)
+        self._run_chunk = jax.jit(
+            lambda state, keys, data: jax.lax.scan(
+                lambda s, k: trainer.outer_step(s, k, data), state, keys))
 
     def run(self, state: TrainState, data: SSMData, num_iterations: int,
-            key: jax.Array, nan_check: bool = True):
+            key: jax.Array, chunk_size: int = 500, nan_check: bool = True):
         from ffvd_tpu.parallel.sharding import _check_finite
         state, data = shard_sequence(state, data, self.mesh)
-        nlls = []
-        for i, k in enumerate(jax.random.split(key, num_iterations)):
-            state, nll = self._step(state, k, data)
-            _check_finite(nll[None, None], i, "step", nan_check)
-            nlls.append(nll)
-        return state, jnp.stack(nlls)
+        traces = []
+        done = 0
+        while done < num_iterations:
+            n = min(chunk_size, num_iterations - done)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, n)
+            state, nlls = self._run_chunk(state, keys, data)
+            _check_finite(nlls[:, None], done, "step", nan_check)
+            traces.append(nlls)
+            done += n
+        return state, (jnp.concatenate(traces) if traces
+                       else jnp.zeros((0,)))

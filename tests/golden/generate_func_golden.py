@@ -9,8 +9,9 @@
   ``predict_density`` (likelihoods.py:134-186): probit-Bernoulli with
   20-point Gauss-Hermite quadrature.
 
-Writes tests/golden/golden_funcs.npz, consumed by
-tests/test_multidim_emission.py and tests/test_ops.py.
+Writes tests/golden/func_ref_golden.npz (named OUTSIDE the golden_*.npz glob
+that conftest feeds to the model-level parity tests), consumed by
+tests/test_multidim_emission.py.
 
 Run:  python tests/golden/generate_func_golden.py
 """
@@ -24,7 +25,7 @@ import tensorflow as tf
 
 from vfegpssm.likelihoods import Bernoulli, logdensity_norm  # noqa: E402
 
-OUT = Path(__file__).parent / "golden_funcs.npz"
+OUT = Path(__file__).parent / "func_ref_golden.npz"
 
 
 def main():

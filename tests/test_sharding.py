@@ -78,14 +78,14 @@ def test_sequence_sharded_matches_unsharded():
                      window_size=4)
     single = Trainer(cfg, data)
     key = jax.random.key(4)
-    keys = jax.random.split(key, 3)
     s_state = single.init_state(params)
-    s_state, s_nlls = single._run_chunk(s_state, keys)
+    s_state, s_nlls = single.run(s_state, 4, key, chunk_size=2)
 
     mesh = make_seq_mesh(8)
     seq = SequenceShardedTrainer(Trainer(cfg, data), mesh)
-    q_state, q_nlls = seq.run(seq.trainer.init_state(params), data, 3, key)
-    # seq.run splits the key identically to _run_chunk's scan input
+    q_state, q_nlls = seq.run(seq.trainer.init_state(params), data, 4, key,
+                              chunk_size=2)
+    # seq.run uses Trainer.run's exact chunked key schedule
     np.testing.assert_allclose(np.asarray(q_nlls), np.asarray(s_nlls),
                                rtol=1e-9)
     np.testing.assert_allclose(np.asarray(q_state.params.x),

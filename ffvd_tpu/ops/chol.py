@@ -57,6 +57,32 @@ def _psd_cholesky_impl(mat: jnp.ndarray, retry_jitter: float) -> jnp.ndarray:
     return jax.lax.cond(jnp.any(~jnp.isfinite(l0)), retry, lambda c: c, l0)
 
 
+# Under vmap, lax.cond linearizes into select (both branches execute), so a
+# vmapped caller — the multi-dataset trainer vmaps the whole step — would pay
+# the two retry factorizations every step even when all matrices are healthy.
+# The impl is batch-polymorphic (arbitrary leading dims), so the batching
+# rule simply collapses the vmap axis into the impl's batch dims, keeping the
+# retries behind a REAL branch.  One wrapper per retry_jitter value (the
+# jitter is static).
+_CHOL_VMAP_CACHE: dict = {}
+
+
+def _psd_cholesky_batchsafe(mat: jnp.ndarray, retry_jitter: float):
+    fn = _CHOL_VMAP_CACHE.get(retry_jitter)
+    if fn is None:
+        @jax.custom_batching.custom_vmap
+        def fn(m):
+            return _psd_cholesky_impl(m, retry_jitter)
+
+        @fn.def_vmap
+        def _(axis_size, in_batched, m):
+            del axis_size, in_batched
+            return fn(m), True
+
+        _CHOL_VMAP_CACHE[retry_jitter] = fn
+    return fn(mat)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def psd_cholesky(mat: jnp.ndarray, retry_jitter: float = 1e-4) -> jnp.ndarray:
     """Cholesky of a batch of PSD matrices ``(..., M, M)`` with escalated
@@ -69,11 +95,11 @@ def psd_cholesky(mat: jnp.ndarray, retry_jitter: float = 1e-4) -> jnp.ndarray:
     and the backward applies the standard cholesky pullback
     Σ̄ = L⁻ᵀ Φ(Lᵀ L̄) L⁻¹ from the saved factor, so no NaN from a failed
     first attempt can leak into gradients."""
-    return _psd_cholesky_impl(mat, retry_jitter)
+    return _psd_cholesky_batchsafe(mat, retry_jitter)
 
 
 def _psd_cholesky_fwd(mat, retry_jitter):
-    l = _psd_cholesky_impl(mat, retry_jitter)
+    l = _psd_cholesky_batchsafe(mat, retry_jitter)
     return l, l
 
 
@@ -117,7 +143,7 @@ def chol_and_inv(mat: jnp.ndarray, retry_jitter: float = 1e-4):
     """(L, L⁻¹) of a batch of PSD matrices with jitter-escalating retries.
     One factorization + one triangular inversion forward; matmul-only
     backward."""
-    l = _psd_cholesky_impl(mat, retry_jitter)
+    l = _psd_cholesky_batchsafe(mat, retry_jitter)
     eye = jnp.eye(mat.shape[-1], dtype=mat.dtype)
     l_inv = solve_triangular(l, jnp.broadcast_to(eye, l.shape), lower=True)
     return l, l_inv

@@ -140,6 +140,15 @@ class MultiDatasetTrainer:
         """
         from ffvd_tpu.eval.rollout import (collect_posterior, predict_summary,
                                            rmse_nll)
+        if self.base.has_sghmc:
+            import warnings
+            warnings.warn(
+                "MultiDatasetTrainer.evaluate restarts the SGHMC "
+                "preconditioner for the eval thinning chain — sampler-case "
+                f"(C{self.cfg.case}) results are approximate; for exact "
+                "reference eval semantics run each dataset through a single "
+                "Trainer whose state carries the trained preconditioner.",
+                stacklevel=2)
         results = {}
         for k, (ds, n) in enumerate(zip(datasets, lens)):
             params_k = jax.tree.map(lambda a: a[k], state.params)

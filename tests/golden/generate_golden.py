@@ -87,7 +87,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 from ffvd_tpu.data import create_dataset, list_warmstarts   # noqa: E402
 
 
-def build_and_record(dataset: str, file_id: int, u_collapse: bool) -> dict:
+def build_and_record(dataset: str, file_id: int, u_collapse: bool,
+                     hyperparameter_sampling: bool = False) -> dict:
     tf.compat.v1.reset_default_graph()
     ds = create_dataset(dataset)
     ws_path = list_warmstarts(dataset)[file_id]
@@ -104,10 +105,24 @@ def build_and_record(dataset: str, file_id: int, u_collapse: bool) -> dict:
         lengthscales=ws["kernel_lengthscales"][k],
         kernel_optimization=True) for k in range(x_dim)]]
 
-    lik = Gaussian(y_train.shape[1], x_dim,
-                   CC=tf.convert_to_tensor(ws["C_val"].T, dtype=tf.float64),
-                   DD=tf.convert_to_tensor(ws["d_val"], dtype=tf.float64),
-                   RR_chol=tf.convert_to_tensor(ws["R_chol_val"], dtype=tf.float64),
+    if hyperparameter_sampling:
+        # The upstream hs path is broken for every provided-value combination
+        # (warm starts included, i.e. every FFVD_Main run): provided
+        # CC/DD/RR_chol are used AS-IS (likelihoods.py:14-15,50-51) and
+        # provided QQ_chol makes log_Q a plain tensor (dgp_model.py:176-178),
+        # but generate_update_step then tf.assign's into them
+        # (base_model.py:177-178) — plain tensors have no .assign.  The ONLY
+        # working configuration is all-default likelihood/noise parameters
+        # (CC=ones, DD=zeros, Rchols=0.1, log_Q=log 0.1), so the fixture uses
+        # those; the parity test mirrors them (hyperparameter_sampling flag
+        # in the fixture).
+        cc = dd = rr = None
+    else:
+        cc = tf.convert_to_tensor(ws["C_val"].T, dtype=tf.float64)
+        dd = tf.convert_to_tensor(ws["d_val"], dtype=tf.float64)
+        rr = tf.convert_to_tensor(ws["R_chol_val"], dtype=tf.float64)
+    lik = Gaussian(y_train.shape[1], x_dim, CC=cc, DD=dd, RR_chol=rr,
+                   hyperparameter_sampling=hyperparameter_sampling,
                    likelihood_traning=True)
 
     x_train_ini = np.mean(ws["x_samples_training"], axis=1)
@@ -116,13 +131,14 @@ def build_and_record(dataset: str, file_id: int, u_collapse: bool) -> dict:
         y_train, [x_dim], m, kerns, lik,
         minibatch_size=y_train.shape[0], window_size=64,
         prior_type="normal", full_cov=False,
-        QQ_chol=ws["Q_sqrt_ini"],
+        QQ_chol=None if hyperparameter_sampling else ws["Q_sqrt_ini"],
         ZZ=tf.convert_to_tensor(ws["Z_val"], dtype=tf.float64),
         variance=ws["kernel_variance"], lengthscales=ws["kernel_lengthscales"],
         control_inputs=control, kernel_type="SquaredExponential",
         kernel_train_flag=True, U_ini=ws["Umu_ini"].T,
         X_0_ini=ws["qx1_mu_ini"], X_train_ini=x_train_ini,
-        X_PG=False, PG_particles=100, hyperparameter_sampling=False,
+        X_PG=False, PG_particles=100,
+        hyperparameter_sampling=hyperparameter_sampling,
         kernel_optimization=True, U_optimization=not u_collapse,
         U_collapse=u_collapse, Z_optimization=True,
         case_val=4 if u_collapse else 1)
@@ -131,7 +147,9 @@ def build_and_record(dataset: str, file_id: int, u_collapse: bool) -> dict:
     sess = model.session
 
     rec = {"dataset": dataset, "file_id": file_id, "ws_path": ws_path,
-           "u_collapse": u_collapse}
+           "u_collapse": u_collapse,
+           "hyperparameter_sampling": hyperparameter_sampling,
+           "n_sghmc_vars": len(model.vars)}
 
     names = ["nll", "nll_log_likelihood", "nll_part_prior", "x_t_prior_Q",
              "nll_reg_trace_inverse_Q_B"]
@@ -181,13 +199,17 @@ def build_and_record(dataset: str, file_id: int, u_collapse: bool) -> dict:
 
 
 def main():
-    jobs = [("ballbeam", 3, True), ("ballbeam", 3, False),
-            ("drive", 3, True), ("gas_furnace", 3, True),
-            ("actuator", 3, False), ("dryer", 3, True),
-            ("flutter", 3, False)]
-    for dataset, fid, collapse in jobs:
-        tag = "c4" if collapse else "c1"
-        rec = build_and_record(dataset, fid, collapse)
+    jobs = [("ballbeam", 3, True, False), ("ballbeam", 3, False, False),
+            ("drive", 3, True, False), ("gas_furnace", 3, True, False),
+            ("actuator", 3, False, False), ("dryer", 3, True, False),
+            ("flutter", 3, False, False),
+            # hyperparameter_sampling=True (dgp_model.py:241-243): pushes
+            # log_Q, C, d, log_Rchol into the SGHMC set WITHOUT changing the
+            # objective — the fixture pins both facts.
+            ("ballbeam", 3, False, True)]
+    for dataset, fid, collapse, hs in jobs:
+        tag = ("c4" if collapse else "c1") + ("hs" if hs else "")
+        rec = build_and_record(dataset, fid, collapse, hs)
         out = OUT / f"golden_{dataset}_{tag}.npz"
         np.savez_compressed(out, **rec)
         print(f"wrote {out}: nll={rec['nll']:.10f}")

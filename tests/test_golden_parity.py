@@ -40,6 +40,19 @@ def setup_case(golden):
     ws_path = list_warmstarts(name)[int(golden["file_id"])]
     ws = dict(np.load(ws_path, allow_pickle=True))
     params = init_params_from_warmstart(ws)
+    if bool(golden.get("hyperparameter_sampling", False)):
+        # hs fixtures use the reference's default likelihood/noise values —
+        # the only configuration where its hs path builds at all (provided
+        # CC/DD/RR_chol/QQ_chol are plain tensors there and
+        # generate_update_step's tf.assign crashes; see generate_golden.py).
+        import dataclasses
+        d, p = params.x.shape[1], params.c.shape[1]
+        params = dataclasses.replace(
+            params,
+            log_q=jnp.full((d,), jnp.log(0.1)),
+            c=jnp.ones((d, p)),
+            d=jnp.zeros((p,)),
+            log_rchol=jnp.full((p, p), jnp.log(0.1)))
     data = SSMData(y=jnp.asarray(ds.y_train), control=jnp.asarray(ds.control))
     collapse = bool(golden["u_collapse"])
     return params, data, collapse

@@ -349,3 +349,40 @@ def test_pg_ancestor_trace_matches_rts_smoother():
     # and the smoother differs measurably from the filter at early times,
     # so this test genuinely distinguishes the two storages
     assert np.abs(ms[:5] - mf[:5]).max() > 0.15
+
+
+def test_hyperparameter_sampling_end_to_end():
+    """hyperparameter_sampling=True trains end-to-end: log_Q, C, d and
+    log_Rchol are SGHMC-SAMPLED (dgp_model.py:241-243), not Adam-trained.
+    (Upstream this path crashes at graph build for every provided-value
+    configuration — see generate_golden.py — so this is the rebuild's
+    working version of it.)"""
+    from ffvd_tpu.data.synthetic import generate_kink
+    from ffvd_tpu.model.params import SSMData, init_params_random
+
+    ds = generate_kink(n=40, seed=1)
+    data = SSMData(y=jnp.asarray(ds.y_train),
+                   control=jnp.zeros((80, 0)))
+    params = init_params_random(jax.random.key(0), n=40, x_dim=2, m=8,
+                                control_dim=0, p=1)
+    cfg = FFVDConfig(dataset="ballbeam", case=2, num_inducing=8, x_dim=2,
+                     hyperparameter_sampling=True, window_size=4)
+    tr = Trainer(cfg, data)
+    assert tr.has_sghmc
+    state, nlls = tr.run(tr.init_state(params), 8, jax.random.key(2),
+                         chunk_size=4)
+    assert bool(jnp.all(jnp.isfinite(nlls)))
+    p1 = state.params
+    # every hs block moved, via the sampler (they are SGHMC-labeled)
+    from ffvd_tpu.config import SGHMC, partition_for
+    part = partition_for(cfg)
+    assert part.log_q == SGHMC and part.lik == SGHMC
+    for name in ("log_q", "c", "d", "log_rchol"):
+        assert float(jnp.max(jnp.abs(getattr(p1, name)
+                                     - getattr(params, name)))) > 0.0, name
+    # posterior eval runs on the hs chain too
+    from ffvd_tpu.eval.rollout import collect_posterior, predict_summary
+    xs, vs, _ = collect_posterior(tr, state, test_len=10,
+                                  key=jax.random.key(3), num=2, spacing=2)
+    py, pv, _ = predict_summary(p1, xs, vs)
+    assert bool(jnp.all(jnp.isfinite(py))) and bool(jnp.all(pv > 0))

@@ -200,3 +200,56 @@ def test_mvnquad_matches_diag_case():
     expected = jnp.sum(d + means * means, axis=-1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
                                rtol=1e-8)
+
+
+def _collect_prims(jaxpr, out):
+    """Recursively collect primitive names, NOT descending into cond
+    branches (so retry work hidden behind a real branch isn't counted)."""
+    for eqn in jaxpr.eqns:
+        out.append(eqn.primitive.name)
+        if eqn.primitive.name == "cond":
+            continue
+        for v in eqn.params.values():
+            for sub in jax.tree_util.tree_leaves(
+                    v, is_leaf=lambda x: hasattr(x, "jaxpr")):
+                if hasattr(sub, "jaxpr"):
+                    _collect_prims(sub.jaxpr, out)
+    return out
+
+
+def test_psd_cholesky_vmap_keeps_retry_branch():
+    """Under vmap the retry must stay behind a REAL cond (one cholesky on
+    the hot path), not linearize into select with all three factorizations
+    (the multi-dataset trainer vmaps the whole step)."""
+    from ffvd_tpu.ops.chol import psd_cholesky
+    mats = jnp.stack([jnp.eye(4) * (i + 1.0) for i in range(3)])
+    jaxpr = jax.make_jaxpr(jax.vmap(lambda m: psd_cholesky(m)))(mats)
+    prims = _collect_prims(jaxpr.jaxpr, [])
+    assert prims.count("cholesky") == 1, prims
+    assert "cond" in prims, prims
+
+
+def test_psd_cholesky_vmap_still_repairs():
+    """The vmap-collapsed retry still fixes a nearly-PSD matrix anywhere in
+    the batch."""
+    from ffvd_tpu.ops.chol import psd_cholesky
+    a = rng.randn(4, 4)
+    psd = a @ a.T + 5 * np.eye(4)
+    sick = psd - (np.linalg.eigvalsh(psd)[0] + 1e-9) * np.eye(4)
+    mats = jnp.stack([jnp.eye(4), jnp.asarray(sick), 2 * jnp.eye(4)])
+    out = jax.jit(jax.vmap(lambda m: psd_cholesky(m, 1e-2)))(mats)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # healthy entries are untouched by the batch-mate's repair
+    np.testing.assert_allclose(np.asarray(out[0]), np.eye(4), atol=1e-12)
+
+
+def test_chol_and_inv_vmap_grads():
+    from ffvd_tpu.ops.chol import chol_and_inv
+    mats = jnp.stack([jnp.eye(4) * (i + 1.0) for i in range(3)])
+    l, li = jax.jit(jax.vmap(lambda m: chol_and_inv(m)))(mats)
+    np.testing.assert_allclose(np.asarray(l @ li),
+                               np.broadcast_to(np.eye(4), (3, 4, 4)),
+                               atol=1e-12)
+    g = jax.grad(lambda m: jnp.sum(jax.vmap(
+        lambda x: chol_and_inv(x)[1])(m)))(mats)
+    assert bool(jnp.all(jnp.isfinite(g)))

@@ -121,3 +121,39 @@ def test_stack_warmstarts():
     assert stacked.x.shape[0] == 3 and stacked.u.shape == (3, 100, 4)
     # distinct warm starts
     assert not np.allclose(np.asarray(stacked.u[0]), np.asarray(stacked.u[1]))
+
+
+def test_initialize_multihost_passthrough(monkeypatch):
+    """The DCN hook forwards env-var configuration to
+    jax.distributed.initialize (mocked: no real coordinator here)."""
+    from ffvd_tpu.parallel.distributed import initialize_multihost
+    calls = {}
+
+    def fake_init(coordinator_address=None, num_processes=None,
+                  process_id=None, local_device_ids=None):
+        calls.update(addr=coordinator_address, n=num_processes,
+                     pid=process_id, ids=local_device_ids)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    assert initialize_multihost() is True
+    assert calls == {"addr": "10.0.0.1:1234", "n": 4, "pid": 2, "ids": None}
+
+
+def test_initialize_multihost_single_process_noop(monkeypatch):
+    from ffvd_tpu.parallel.distributed import initialize_multihost
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: (_ for _ in ()).throw(
+                            AssertionError("must not initialize")))
+    assert initialize_multihost() is False
+
+
+def test_multihost_mesh_single_process_fallback():
+    """On one process the mesh builder delegates to the ICI make_mesh and a
+    MultiChainTrainer step runs on it (virtual CPU devices)."""
+    from ffvd_tpu.parallel.distributed import multihost_mesh
+    mesh = multihost_mesh(dp=2, ep=2, x_dim=2)
+    assert dict(mesh.shape) == {"dp": 2, "ep": 2}

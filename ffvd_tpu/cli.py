@@ -56,6 +56,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(dgp_model.py:241-243; off by default like "
                         "FFVD_Main.py:271)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--rollout_qsqrt_dim0", action="store_true",
+                   help="bug-compat: reproduce the reference's rollout "
+                        "variance slip (dim 0's q(U) factor applied to every "
+                        "dim; conditionals_multi_output.py:322) for NLL "
+                        "parity studies")
     p.add_argument("--platform", choices=["cpu", "tpu", "default"],
                    default="default")
     p.add_argument("--precision", choices=["fp32", "fp64"], default=None,
@@ -102,7 +107,8 @@ def main(argv=None):
         kernel_train_flag=args.kernel_train_flag, file_id=args.file_id,
         hyperparameter_sampling=args.hyperparameter_sampling,
         prng_impl=args.prng_impl, pg_particles=100, seed=args.seed,
-        minibatch_size=args.minibatch_size)
+        minibatch_size=args.minibatch_size,
+        rollout_qsqrt_dim0=args.rollout_qsqrt_dim0)
 
     print(f"#### {dataset} | case C{cfg.case} | {platform} {precision} ####")
 

@@ -103,6 +103,15 @@ class FFVDConfig:
     # get_minibatch always returns the full range (base_model.py:188-194);
     # here windows are sampled uniformly per gradient evaluation.
     minibatch_size: Optional[int] = None
+    # Bug-compat: reproduce the reference's rollout q_sqrt indexing slip —
+    # conditional_after_kernel_precalculation applies latent dim 0's q(U)
+    # Cholesky factor to EVERY dim's predictive variance (the (D,M,M) q_sqrt
+    # broadcasts against the (1,M,N) tiled projection inside
+    # base_conditional_after_kernel_precalculation, then the [:, :, 0] at
+    # conditionals_multi_output.py:322 keeps only the dim-0 slice).  False =
+    # correct per-dim factor (our default); True = reference behavior, for
+    # NLL-parity studies (PARITY.md).
+    rollout_qsqrt_dim0: bool = False
     # Emission noise model: "auto" = diagonal R for P=1 observations, full
     # lower-Cholesky R for P>1 (the reference's logdensity_norm path,
     # likelihoods.py:114-127, made live — its own P>1 ELBO is broken,

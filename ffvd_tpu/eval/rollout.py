@@ -106,8 +106,13 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
                     [params.x[:n], trainer.data.control[:n]], axis=1)
             else:
                 xc = params.x[:n]
-            return collapsed_u_posterior(kt, params.kernel, pre, params.z,
-                                         params.x, xc, params.q)
+            u_val, q_sqrt = collapsed_u_posterior(
+                kt, params.kernel, pre, params.z, params.x, xc, params.q)
+            if cfg.rollout_qsqrt_dim0:
+                # reference slip compat (conditionals_multi_output.py:322):
+                # dim 0's q(U) factor applied to every dim's variance
+                q_sqrt = jnp.broadcast_to(q_sqrt[:1], q_sqrt.shape)
+            return u_val, q_sqrt
         return params.u, None
 
     @jax.jit

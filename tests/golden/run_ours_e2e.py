@@ -6,6 +6,10 @@ Counterpart of run_tf_reference_e2e.py: same workload as the reference CLI
 collect_samples_formal base_model.py:197-522), run through ffvd_tpu.cli.
 
 Usage: python tests/golden/run_ours_e2e.py [dataset] [case] [seed] [tag]
+           [compat]
+
+``compat`` (literal string "compat"): run with --rollout_qsqrt_dim0, the
+reference's rollout-variance slip reproduced (PARITY NLL study).
 
 Runs on the default platform (TPU when available).  NEVER run two of these
 concurrently — the machine has a single tunneled TPU chip.
@@ -28,15 +32,19 @@ def main():
     case = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     tag = sys.argv[4] if len(sys.argv) > 4 else None
+    compat = len(sys.argv) > 5 and sys.argv[5] == "compat"
 
     from ffvd_tpu import cli
-    res = cli.main([
+    argv = [
         "--file_index", str(DATASET_INDEX[dataset]),
         "--case_val", str(case),
         "--iterations", "2000",
         "--seed", str(seed),
         "--results_dir", str(Path(__file__).parent / "ours_results"),
-    ])
+    ]
+    if compat:
+        argv.append("--rollout_qsqrt_dim0")
+    res = cli.main(argv)
 
     key = dataset if (case == 4 and tag is None) else f"{dataset}_C{case}"
     if tag:
@@ -45,6 +53,8 @@ def main():
            "final_elbo": res["final_elbo"],
            "train_time_sec": round(res["train_time"], 2),
            "seed": seed, "case": f"C{case}"}
+    if compat:
+        rec["rollout_qsqrt_dim0"] = True
     all_rec = json.loads(OUT.read_text()) if OUT.exists() else {}
     all_rec[key] = rec
     OUT.write_text(json.dumps(all_rec, indent=2))

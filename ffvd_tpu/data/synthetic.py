@@ -47,17 +47,24 @@ def generate_kink(n: int = 120, process_noise_std: float = 0.05,
 
 def generate_linear(n: int = 200, x_dim: int = 2, y_dim: int = 1,
                     q_std: float = 0.1, r_std: float = 0.1,
+                    r_corr: float = 0.0,
                     seed: int = 0) -> Tuple[Dataset, dict]:
-    """Random stable linear SSM; returns the dataset and the true params."""
+    """Random stable linear SSM; returns the dataset and the true params.
+
+    ``r_corr``: pairwise correlation of the emission noise across output
+    channels (y_dim > 1) — exercises the full-Cholesky R emission path."""
     rng = np.random.RandomState(seed)
     a = rng.randn(x_dim, x_dim)
     a = 0.9 * a / np.max(np.abs(np.linalg.eigvals(a)))
     c = rng.randn(x_dim, y_dim)
+    r_cov = (r_std ** 2) * ((1 - r_corr) * np.eye(y_dim)
+                            + r_corr * np.ones((y_dim, y_dim)))
+    r_chol = np.linalg.cholesky(r_cov)
     x = np.zeros((2 * n + 1, x_dim))
     ys = np.zeros((2 * n, y_dim))
     for t in range(2 * n):
         x[t + 1] = a @ x[t] + q_std * rng.randn(x_dim)
-        ys[t] = c.T @ x[t + 1] + r_std * rng.randn(y_dim)
+        ys[t] = c.T @ x[t + 1] + r_chol @ rng.randn(y_dim)
     half = n
     y_std = float(np.std(ys[:half]))
     y_mean = float(np.mean(ys[:half]))
@@ -65,5 +72,6 @@ def generate_linear(n: int = 200, x_dim: int = 2, y_dim: int = 1,
     ds = Dataset(name="linear", y_train=obs[:half], y_test=obs[half:],
                  control=np.zeros((2 * n, 0)), y_train_std=y_std,
                  y_train_mean=y_mean, control_mean=0.0, control_std=1.0)
-    truth = {"A": a, "C": c, "Q_std": q_std, "R_std": r_std, "x": x}
+    truth = {"A": a, "C": c, "Q_std": q_std, "R_std": r_std,
+             "R_cov": r_cov, "x": x}
     return ds, truth

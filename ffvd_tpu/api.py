@@ -97,7 +97,8 @@ class FFVDModel:
         self.key, sub = jax.random.split(self.key)
         xs, vs, self.state = collect_posterior(
             self.trainer, self.state, test_len, sub, num=num_samples)
-        py, pv, _ = predict_summary(self.params, xs, vs)
+        py, pv, _ = predict_summary(self.params, xs, vs,
+                                    self.cfg.emission_noise)
         rmse, nll = rmse_nll(
             jnp.asarray(self.dataset.y_test[:test_len], self.dtype), py, pv,
             self.dataset.y_train_std, horizon=horizon)
@@ -114,7 +115,8 @@ class FFVDModel:
         y_test = jnp.asarray(self.dataset.y_test, self.dtype)
         for s in range(xs.shape[0]):
             py, pv, _ = predict_summary(self.params, xs[s:s + 1],
-                                        vs[s:s + 1])
+                                        vs[s:s + 1],
+                                        self.cfg.emission_noise)
             r, n = rmse_nll(y_test, py, pv, self.dataset.y_train_std,
                             horizon=horizon)
             rmses.append(float(r))
@@ -129,7 +131,8 @@ class FFVDModel:
         xs, vs, self.state = collect_posterior(
             self.trainer, self.state, test_len, sub, num=num_samples)
         self._last_rollout = (xs, vs)
-        py, pv, fy = predict_summary(self.params, xs, vs)
+        py, pv, fy = predict_summary(self.params, xs, vs,
+                                     self.cfg.emission_noise)
         self._last_fit_y = fy
         return py, pv
 
@@ -162,15 +165,21 @@ class FFVDModel:
             self.trainer, self.state, test_len, sub, num=s)
         ys = xs @ self.params.c + self.params.d
         self.key, sub = jax.random.split(self.key)
-        # correlated emission noise ε = z·Lᵀ, R = L·Lᵀ (diag L for P=1)
-        noise = jax.random.normal(sub, ys.shape, ys.dtype) @ self.params.rchol.T
+        z = jax.random.normal(sub, ys.shape, ys.dtype)
+        from ffvd_tpu.model.likelihoods import use_full_r
+        if use_full_r(self.cfg.emission_noise, self.params.c.shape[1]):
+            # correlated emission noise ε = z·Lᵀ, R = L·Lᵀ
+            noise = z @ self.params.rchol.T
+        else:
+            noise = z * self.params.rchol_diag
         return np.asarray(ys + noise)
 
     def save_results(self, path, case: Optional[str] = None):
         if hasattr(self, "_last_rollout"):
             # reuse the rollout from the last predict/evaluate so the saved
             # predictions are the ones that were reported
-            py, pv, _ = predict_summary(self.params, *self._last_rollout)
+            py, pv, _ = predict_summary(self.params, *self._last_rollout,
+                                    emission_noise=self.cfg.emission_noise)
         else:
             py, pv = self.predict()
         return save_results_npz(

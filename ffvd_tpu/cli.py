@@ -28,7 +28,10 @@ def _str2bool(v: str) -> bool:
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Run an FFVD-GPSSM experiment (TPU rebuild)")
     p.add_argument("--num_inducing", type=int, default=100)
-    p.add_argument("--minibatch_size", type=int, default=1000)
+    # Reference flag (FFVD_Main.py:357, default 1000) — but inert upstream
+    # (get_minibatch always returns the full range), so OUR default is full
+    # batch regardless of N; pass a value to opt into random-window training.
+    p.add_argument("--minibatch_size", type=int, default=None)
     p.add_argument("--iterations", type=int, default=2000)
     p.add_argument("--posterior_sample_spacing", type=int, default=32)
     p.add_argument("--file_id", type=int, default=3)

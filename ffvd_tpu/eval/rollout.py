@@ -166,12 +166,22 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
 
 
 def predict_summary(params: GPSSMParams, predict_x: jnp.ndarray,
-                    predict_x_var: jnp.ndarray):
-    """ŷ, v̂, and the training fit (base_model.py:334-343)."""
+                    predict_x_var: jnp.ndarray,
+                    emission_noise: str = "auto"):
+    """ŷ, v̂, and the training fit (base_model.py:334-343).
+
+    ``emission_noise`` must match the training configuration: in diag mode
+    the strictly-lower log_rchol entries are NOT part of the trained density
+    (they can drift under hyperparameter sampling) and must not leak into
+    the predictive variance."""
+    from ffvd_tpu.model.likelihoods import use_full_r
     c, d = params.c, params.d
     y_s = predict_x @ c + d                           # (S, T, P)
     v_s = predict_x_var @ (c * c)                     # (S, T, P)
-    r2 = params.r_var_diag   # diag(R); = exp(2·diag log_rchol) for diag R
+    if use_full_r(emission_noise, params.c.shape[1]):
+        r2 = params.r_var_diag                        # diag(L·Lᵀ)
+    else:
+        r2 = params.rchol_diag ** 2                   # exp(2·diag log_rchol)
     predict_y = jnp.mean(y_s, axis=0)
     predict_y_var = jnp.mean(v_s, axis=0) + r2
     fit_y = emission_mean(params.x[1:], c, d)

@@ -24,9 +24,8 @@ import jax.numpy as jnp
 
 from ffvd_tpu.config import FFVDConfig
 from ffvd_tpu.model.conditionals import kernel_precal, whitened_conditional
-from ffvd_tpu.model.likelihoods import emission_mean
+from ffvd_tpu.model.likelihoods import emission_log_lik_rows, emission_mean
 from ffvd_tpu.model.params import GPSSMParams, SSMData
-from ffvd_tpu.ops.densities import logdensity_norm, logdensity_norm_diag
 
 
 def make_pg_fn(cfg: FFVDConfig, data: SSMData = None) -> Callable:
@@ -59,16 +58,12 @@ def make_pg_fn(cfg: FFVDConfig, data: SSMData = None) -> Callable:
         return mu + noise * jnp.sqrt(jnp.maximum(var + params.q, 0.0))
 
     def _weights(params, x_next, x_ref_next, y_t):
-        p_dim = params.c.shape[1]
-        if emission_noise == "full" or (emission_noise == "auto"
-                                        and p_dim > 1):
-            def logp(mean):
-                return logdensity_norm(y_t, mean, params.rchol)
-        else:
-            def logp(mean):
-                return logdensity_norm_diag(y_t, mean, params.rchol_diag)
-        w_free = logp(emission_mean(x_next, params.c, params.d))
-        w_ref = logp(emission_mean(x_ref_next[None, :], params.c, params.d))
+        w_free = emission_log_lik_rows(
+            params, y_t, emission_mean(x_next, params.c, params.d),
+            emission_noise)
+        w_ref = emission_log_lik_rows(
+            params, y_t, emission_mean(x_ref_next[None, :], params.c,
+                                       params.d), emission_noise)
         return jnp.concatenate([w_free, w_ref])              # (P,)
 
     def pg_reference_style(params: GPSSMParams, key: jax.Array,

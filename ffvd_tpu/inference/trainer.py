@@ -216,7 +216,10 @@ class Trainer:
 
         def body(carry, inp):
             flag, k = inp
-            k, k_win = jax.random.split(k)
+            if self.window_n is not None:   # static: keep the full-batch
+                k, k_win = jax.random.split(k)  # PRNG stream unchanged
+            else:
+                k_win = None
             p, s = carry
             grads = sanitize_grads(self._train_grad(p, data, k_win), gclip)
             p2, s2 = sghmc_step(
@@ -254,7 +257,10 @@ class Trainer:
 
         adam_state = state.adam
         if self.has_adam:
-            k_feed, k_win = jax.random.split(k_feed)
+            if self.window_n is not None:   # static: see _sghmc_phase note
+                k_feed, k_win = jax.random.split(k_feed)
+            else:
+                k_win = None
             if self.has_sghmc:
                 i = jax.random.randint(k_feed, (), 0, jnp.maximum(count, 1))
                 feed = jax.tree.map(

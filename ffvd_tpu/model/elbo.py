@@ -25,9 +25,9 @@ import jax.numpy as jnp
 
 from ffvd_tpu.model import conditionals as cond
 from ffvd_tpu.model import priors
-from ffvd_tpu.model.likelihoods import emission_mean
+from ffvd_tpu.model.likelihoods import emission_log_lik_rows, emission_mean
 from ffvd_tpu.model.params import GPSSMParams, SSMData
-from ffvd_tpu.ops.densities import (logdensity_norm, logdensity_norm_diag,
+from ffvd_tpu.ops.densities import (logdensity_norm_diag,
                                     logdensity_norm_diag_nonvec)
 
 
@@ -69,11 +69,8 @@ def elbo_terms(params: GPSSMParams, data: SSMData, *,
     # — present upstream but never wired into a working P>1 ELBO, see
     # GPSSMParams.rchol); "auto" selects it whenever P > 1.
     y_mean = emission_mean(params.x[1:], params.c, params.d)
-    p_dim = params.c.shape[1]
-    if emission_noise == "full" or (emission_noise == "auto" and p_dim > 1):
-        log_lik = msum(logdensity_norm(data.y, y_mean, params.rchol))
-    else:
-        log_lik = msum(logdensity_norm_diag(data.y, y_mean, params.rchol_diag))
+    log_lik = msum(emission_log_lik_rows(params, data.y, y_mean,
+                                         emission_noise))
     nll_log_likelihood = -log_lik / batch
 
     # Priors (dgp_model.py:252, :286/:296, :326-334).
@@ -170,12 +167,8 @@ def windowed_elbo_terms(params: GPSSMParams, data: SSMData,
     y_win = jax.lax.dynamic_slice_in_dim(data.y, start, window_n)
 
     y_mean = emission_mean(x_win[1:], params.c, params.d)
-    p_dim = params.c.shape[1]
-    if emission_noise == "full" or (emission_noise == "auto" and p_dim > 1):
-        log_lik = jnp.sum(logdensity_norm(y_win, y_mean, params.rchol))
-    else:
-        log_lik = jnp.sum(logdensity_norm_diag(y_win, y_mean,
-                                               params.rchol_diag))
+    log_lik = jnp.sum(emission_log_lik_rows(params, y_win, y_mean,
+                                            emission_noise))
     nll_log_likelihood = -log_lik / batch
 
     hyper_prior = priors.hyperparameter_prior(params.log_q, params.c,

@@ -21,6 +21,25 @@ def emission_mean(x: jnp.ndarray, c: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray
     return x @ c + d
 
 
+def use_full_r(emission_noise: str, p_dim: int) -> bool:
+    """Does this emission mode use the full lower-Cholesky R?  The single
+    source of truth for the "auto" rule (full iff P > 1) — shared by the
+    ELBO, the windowed ELBO, particle-Gibbs weights, and eval."""
+    return emission_noise == "full" or (emission_noise == "auto"
+                                        and p_dim > 1)
+
+
+def emission_log_lik_rows(params, y: jnp.ndarray, y_mean: jnp.ndarray,
+                          emission_noise: str) -> jnp.ndarray:
+    """Row-wise emission log density under the configured noise model:
+    full-Cholesky (reference logdensity_norm, likelihoods.py:114-127) or
+    diagonal (logdensity_norm_diag, :96-111).  (N, P) → (N,)."""
+    from ffvd_tpu.ops.densities import logdensity_norm, logdensity_norm_diag
+    if use_full_r(emission_noise, params.c.shape[1]):
+        return logdensity_norm(y, y_mean, params.rchol)
+    return logdensity_norm_diag(y, y_mean, params.rchol_diag)
+
+
 def inv_probit(x: jnp.ndarray) -> jnp.ndarray:
     """Probit link with 1e-3 jitter (likelihoods.py:129-131)."""
     jitter = 1e-3

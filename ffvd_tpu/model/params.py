@@ -125,7 +125,11 @@ def init_params_from_warmstart(ws: dict, dtype=jnp.float64) -> GPSSMParams:
     log_q = 2.0 * np.log(np.asarray(ws["Q_sqrt_ini"]))
     c = np.asarray(ws["C_val"]).T
     d = np.asarray(ws["d_val"])
-    log_rchol = np.log(np.asarray(ws["R_chol_val"]))
+    # log_rchol parameterization (see GPSSMParams.rchol): diagonal in log,
+    # strictly-lower raw.  Taking elementwise log of a triangular Cholesky
+    # would put -inf in the off-diagonals for P>1 warm starts.
+    r_chol = np.atleast_2d(np.asarray(ws["R_chol_val"]))
+    log_rchol = np.tril(r_chol, -1) + np.diag(np.log(np.diagonal(r_chol)))
 
     as_j = lambda a: jnp.asarray(a, dtype=dtype)
     return GPSSMParams(

@@ -71,16 +71,43 @@ def multihost_mesh(dp: Optional[int] = None, ep: Optional[int] = None,
     import jax
     from jax.sharding import Mesh
 
+    def _default_ep(n_avail: int) -> int:
+        # largest power-of-two divisor of n_avail that is <= x_dim
+        e = 1
+        while e * 2 <= min(n_avail, x_dim) and n_avail % (e * 2) == 0:
+            e *= 2
+        return e
+
     if jax.process_count() == 1:
         from ffvd_tpu.parallel.sharding import make_mesh
-        return make_mesh(dp and dp * (ep or 1), ep=ep, x_dim=x_dim)
+        n = len(jax.devices())
+        if dp is not None:
+            if ep is None:
+                if n % dp != 0:
+                    raise ValueError(f"dp={dp} does not divide the "
+                                     f"{n}-device platform")
+                ep = _default_ep(n // dp)
+            return make_mesh(dp * ep, ep=ep, x_dim=x_dim)
+        return make_mesh(None, ep=ep, x_dim=x_dim)
 
     from jax.experimental import mesh_utils
     n_local = jax.local_device_count()
     n_proc = jax.process_count()
-    ep = ep or min(n_local, x_dim)
-    dp = dp or (n_proc * n_local) // ep
+    total = n_proc * n_local
+    if ep is None:
+        ep = _default_ep(n_local)
+    if n_local % ep != 0:
+        raise ValueError(f"ep={ep} must divide the {n_local} local devices "
+                         "(ep rides ICI within a host)")
+    dp_local = n_local // ep
+    if dp is None:
+        dp = n_proc * dp_local
+    if dp != n_proc * dp_local:
+        raise ValueError(
+            f"dp={dp} inconsistent with {n_proc} processes x {n_local} "
+            f"local devices / ep={ep} (need dp = {n_proc * dp_local}); "
+            "this builder always uses every device")
     devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(dp // n_proc if dp >= n_proc else 1, ep),
-        dcn_mesh_shape=(min(dp, n_proc), 1))
+        mesh_shape=(dp_local, ep), dcn_mesh_shape=(n_proc, 1))
+    assert devices.size == total
     return Mesh(np.asarray(devices).reshape(dp, ep), ("dp", "ep"))

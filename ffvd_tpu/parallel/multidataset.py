@@ -160,7 +160,8 @@ class MultiDatasetTrainer:
             st = tr.init_state(params_k)
             key, sub = jax.random.split(key)
             xs, vs, _ = collect_posterior(tr, st, ds.n_test, sub)
-            py, pv, _ = predict_summary(params_k, xs, vs)
+            py, pv, _ = predict_summary(params_k, xs, vs,
+                                        self.cfg.emission_noise)
             rmse, nll = rmse_nll(jnp.asarray(ds.y_test, dtype), py, pv,
                                  ds.y_train_std, horizon=horizon)
             results[ds.name] = {"rmse": float(rmse), "nll": float(nll)}

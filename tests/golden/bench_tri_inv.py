@@ -65,7 +65,9 @@ def main():
     tr = Trainer(cfg, data)
     state = tr.init_state(params)
     keys = jax.random.split(jax.random.key(3), 100)
-    state, _ = tr._run_chunk(state, keys[:1])  # compile
+    # warm up with the SAME chunk length — a different scan length would
+    # recompile inside the timed region
+    state, _ = tr._run_chunk(state, keys)
     jax.block_until_ready(state.params.x)
     t0 = time.perf_counter()
     state, nlls = tr._run_chunk(state, keys)

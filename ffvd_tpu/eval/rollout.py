@@ -33,9 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from ffvd_tpu.inference.sghmc import sghmc_step
-from ffvd_tpu.inference.trainer import (SGHMC, Trainer, TrainState,
-                                        _select, clip_log_leaves,
-                                        sanitize_grads)
+from ffvd_tpu.inference.trainer import (SGHMC, SubsetOps, Trainer,
+                                        TrainState, sanitize_grads)
 from ffvd_tpu.model.conditionals import (collapsed_u_posterior, kernel_precal,
                                          whitened_conditional)
 from ffvd_tpu.model.likelihoods import emission_mean
@@ -120,37 +119,42 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
         params = state.params
         if trainer.has_sghmc:
             # Sequential chain: thin `spacing` sample-only steps per sample.
+            # Thinning moves only the SGHMC-labeled leaves, so the scans carry
+            # (and differentiate) just that subset — see SubsetOps.
+            ops = SubsetOps(trainer.labels, params)
+            sub_grad = jax.grad(
+                lambda sub: trainer.nll_fn(ops.merge(sub, params),
+                                           trainer.data))
+            x_n = params.x.shape[0]
+
             def per_sample(carry, k):
-                params, sstate = carry
+                sub, sstate = carry
                 k_thin, k_roll = jax.random.split(k)
-                x_n = params.x.shape[0]
 
                 def thin(c, kk):
-                    p, s = c
-                    grads = sanitize_grads(
-                        trainer.grad_fn(p, trainer.data),
-                        cfg.sghmc_grad_clip)
-                    p2, s2 = sghmc_step(p, grads, s, kk,
-                                        epsilon=cfg.epsilon,
-                                        mdecay=cfg.mdecay, x_n=x_n,
-                                        burn_in=False)
-                    p2 = clip_log_leaves(p2, cfg.sghmc_log_clip)
-                    p2 = _select(trainer.labels, p2, p, SGHMC)
-                    return (p2, s2), None
+                    sb, s = c
+                    grads = sanitize_grads(sub_grad(sb), cfg.sghmc_grad_clip)
+                    sb2, s2 = sghmc_step(sb, grads, s, kk,
+                                         epsilon=cfg.epsilon,
+                                         mdecay=cfg.mdecay, x_n=x_n,
+                                         burn_in=False)
+                    return (ops.clip_log(sb2, cfg.sghmc_log_clip), s2), None
 
-                (params, sstate), _ = jax.lax.scan(
-                    thin, (params, sstate), jax.random.split(k_thin, spacing))
-                u_val, q_sqrt = u_and_qsqrt(params)
-                xs, vs = _rollout_one(kt, jit_, params.kernel, params.z,
-                                      u_val, q_sqrt, params.q, params.x[-1],
+                (sub, sstate), _ = jax.lax.scan(
+                    thin, (sub, sstate), jax.random.split(k_thin, spacing))
+                p = ops.merge(sub, params)
+                u_val, q_sqrt = u_and_qsqrt(p)
+                xs, vs = _rollout_one(kt, jit_, p.kernel, p.z,
+                                      u_val, q_sqrt, p.q, p.x[-1],
                                       controls, k_roll)
-                return (params, sstate), (xs, vs)
+                return (sub, sstate), (xs, vs)
 
-            (params, sstate), (xs, vs) = jax.lax.scan(
-                per_sample, (params, state.sghmc),
+            (sub, sstate), (xs, vs) = jax.lax.scan(
+                per_sample, (ops.split(params), ops.split_state(state.sghmc)),
                 jax.random.split(key, num))
-            new_state = dataclasses.replace(state, params=params,
-                                            sghmc=sstate)
+            new_state = dataclasses.replace(
+                state, params=ops.merge(sub, params),
+                sghmc=ops.merge_state(sstate, state.sghmc))
             return xs, vs, new_state
         else:
             # iid samples: one U posterior, vmapped rollouts.

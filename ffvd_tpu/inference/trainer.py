@@ -53,11 +53,6 @@ def label_tree(cfg: FFVDConfig) -> GPSSMParams:
     )
 
 
-def _select(labels: Pytree, a: Pytree, b: Pytree, target: str) -> Pytree:
-    """Per-leaf static select: leaf from ``a`` where label==target else ``b``."""
-    return jax.tree.map(lambda l, x, y: x if l == target else y, labels, a, b)
-
-
 def sanitize_grads(grads: Pytree, clip) -> Pytree:
     """Zero non-finite gradient elements and clip magnitudes to ±clip (see
     FFVDConfig.sghmc_grad_clip).  No-op when clip is None."""
@@ -79,6 +74,51 @@ def clip_log_leaves(tree: Pytree, clip) -> Pytree:
         lambda kp, leaf: (jnp.clip(leaf, -clip, clip)
                           if "log" in jax.tree_util.keystr(kp) else leaf),
         tree)
+
+
+class SubsetOps:
+    """Split/merge a fixed label-selected subset of a pytree's leaves.
+
+    The SG-HMC phases (training sub-steps, eval thinning) touch only the
+    SGHMC-labeled leaves; gradients and noise for the rest would still be
+    materialized by XLA if they fed the scan carry.  Operating on the subset
+    keeps the unused backward chains out of the program entirely.
+    """
+
+    def __init__(self, labels: Pytree, params: Pytree, target: str = SGHMC):
+        self.treedef = jax.tree.structure(params)
+        paths = [jax.tree_util.keystr(kp) for kp, _
+                 in jax.tree_util.tree_leaves_with_path(params)]
+        flat_labels = jax.tree.leaves(labels)
+        self.idx = tuple(i for i, l in enumerate(flat_labels) if l == target)
+        self.is_log = tuple("log" in paths[i] for i in self.idx)
+
+    def split(self, tree: Pytree) -> list:
+        lv = jax.tree.leaves(tree)
+        return [lv[i] for i in self.idx]
+
+    def merge(self, sub: list, into: Pytree) -> Pytree:
+        lv = list(jax.tree.leaves(into))
+        for j, i in enumerate(self.idx):
+            lv[i] = sub[j]
+        return jax.tree.unflatten(self.treedef, lv)
+
+    def split_state(self, sstate: SGHMCState) -> SGHMCState:
+        return SGHMCState(xi=self.split(sstate.xi), g=self.split(sstate.g),
+                          g2=self.split(sstate.g2), p=self.split(sstate.p))
+
+    def merge_state(self, sub: SGHMCState, into: SGHMCState) -> SGHMCState:
+        return SGHMCState(xi=self.merge(sub.xi, into.xi),
+                          g=self.merge(sub.g, into.g),
+                          g2=self.merge(sub.g2, into.g2),
+                          p=self.merge(sub.p, into.p))
+
+    def clip_log(self, sub: list, clip) -> list:
+        """`clip_log_leaves` for a subset list (leaf paths are precomputed)."""
+        if clip is None:
+            return sub
+        return [jnp.clip(v, -clip, clip) if lg else v
+                for lg, v in zip(self.is_log, sub)]
 
 
 @jax.tree_util.register_dataclass
@@ -135,6 +175,7 @@ class Trainer:
                 kernel_type=cfg.kernel_type, prior_type=cfg.prior_type,
                 u_collapse=cfg.case_config.u_collapse, jitter=cfg.jitter,
                 emission_noise=cfg.emission_noise)
+            self._win_nll = win_nll
             self._win_grad = jax.grad(win_nll)
             self._win_value_grad = jax.value_and_grad(win_nll)
 
@@ -166,8 +207,14 @@ class Trainer:
     # -- training-time gradient (windowed when minibatching) ----------------
 
     def _draw_start(self, key: jax.Array, data: SSMData) -> jnp.ndarray:
-        return jax.random.randint(
-            key, (), 0, data.y.shape[0] - self.window_n + 1)
+        if data.mask is None:
+            hi = data.y.shape[0] - self.window_n + 1
+        else:
+            # Padding is a suffix (parallel/multidataset.py): keep the window
+            # inside the real prefix so every window row has weight 1.
+            real_n = jnp.sum(data.mask).astype(jnp.int32)
+            hi = jnp.maximum(real_n - self.window_n + 1, 1)
+        return jax.random.randint(key, (), 0, hi)
 
     def _train_grad(self, params, data, key):
         """Gradient for one training sub-step; fresh window per evaluation."""
@@ -205,14 +252,31 @@ class Trainer:
     # -- one outer iteration ----------------------------------------------
 
     def _sghmc_phase(self, params, sstate, key, data):
-        """21 sub-steps: B, (B,S)×10 (base_model.py:915-925)."""
+        """21 sub-steps: B, (B,S)×10 (base_model.py:915-925).
+
+        Gradients are taken w.r.t. the SGHMC-labeled leaves ONLY; the
+        frozen/Adam leaves are closed over as constants.  Differentiating the
+        full tree and discarding the rest would force XLA to build (21×) the
+        unused backward chains, noise draws, and preconditioner updates — the
+        scan carries the sampler state, so nothing downstream is dead code it
+        could eliminate.  In C5 the sampled set is just the kernel hypers;
+        the X/Z/likelihood cotangents never enter the program at all.
+        """
         x_n = params.x.shape[0]
         flags = jnp.asarray([True] + [True, False] * 10)
         keys = jax.random.split(key, flags.shape[0])
-
         clip = self.cfg.sghmc_log_clip
-
         gclip = self.cfg.sghmc_grad_clip
+
+        ops = SubsetOps(self.labels, params)
+
+        def sub_nll(sub, k_win):
+            p = ops.merge(sub, params)
+            if self.window_n is None:
+                return self.nll_fn(p, data)
+            return self._win_nll(p, data, self._draw_start(k_win, data))
+
+        sub_grad = jax.grad(sub_nll)
 
         def body(carry, inp):
             flag, k = inp
@@ -220,18 +284,16 @@ class Trainer:
                 k, k_win = jax.random.split(k)  # PRNG stream unchanged
             else:
                 k_win = None
-            p, s = carry
-            grads = sanitize_grads(self._train_grad(p, data, k_win), gclip)
-            p2, s2 = sghmc_step(
-                p, grads, s, k, epsilon=self.cfg.epsilon,
+            sub, ss = carry
+            grads = sanitize_grads(sub_grad(sub, k_win), gclip)
+            sub2, ss2 = sghmc_step(
+                sub, grads, ss, k, epsilon=self.cfg.epsilon,
                 mdecay=self.cfg.mdecay, x_n=x_n, burn_in=flag)
-            p2 = clip_log_leaves(p2, clip)
-            p2 = _select(self.labels, p2, p, SGHMC)
-            return (p2, s2), None
+            return (ops.clip_log(sub2, clip), ss2), None
 
-        (params, sstate), _ = jax.lax.scan(body, (params, sstate),
-                                           (flags, keys))
-        return params, sstate
+        (sub, ss), _ = jax.lax.scan(
+            body, (ops.split(params), ops.split_state(sstate)), (flags, keys))
+        return ops.merge(sub, params), ops.merge_state(ss, sstate)
 
     def outer_step(self, state: TrainState, key: jax.Array,
                    data: SSMData = None) -> Tuple[TrainState, jnp.ndarray]:

@@ -152,14 +152,33 @@ def windowed_elbo_terms(params: GPSSMParams, data: SSMData,
 
     At window_n == N (start=0) this reproduces ``elbo_terms`` exactly
     (pinned in tests/test_minibatch.py).  ``start`` may be a traced index;
-    ``window_n`` must be static.  Masked (padded) data is unsupported here.
+    ``window_n`` must be static.
+
+    Masked (padded multi-dataset) data: Y_N becomes the number of real
+    transitions, batch the number of real transitions inside the window
+    (≥1), and every window sum is mask-weighted.  Since padding is a suffix
+    (parallel/multidataset.py), a start drawn in [0, real_n − window_n]
+    keeps the window fully real and this reduces to the unmasked math with
+    Y_N = real_n.
     """
-    if data.mask is not None:
-        raise NotImplementedError("windowed training with masked data")
     n = params.n_transitions
-    y_n = jnp.asarray(float(n), dtype=params.x.dtype)
-    batch = jnp.asarray(float(window_n), dtype=params.x.dtype)
     q = params.q
+    mask = data.mask
+    if mask is None:
+        y_n = jnp.asarray(float(n), dtype=params.x.dtype)
+        batch = jnp.asarray(float(window_n), dtype=params.x.dtype)
+        mask_win = None
+        gram_scale = float(n) / float(window_n)
+        wsum = jnp.sum
+    else:
+        mask_win = jax.lax.dynamic_slice_in_dim(mask, start, window_n)
+        y_n = jnp.sum(mask)
+        batch = jnp.maximum(jnp.sum(mask_win), 1.0)
+        gram_scale = y_n / batch
+
+        def wsum(rows):           # rows: (W,) or (W, D) — mask leading axis
+            w = mask_win if rows.ndim == 1 else mask_win[:, None]
+            return jnp.sum(rows * w)
 
     # Window slices: x rows [start, start+window_n], y/control rows
     # [start, start+window_n) (dgp_model.py:248-284).
@@ -167,8 +186,8 @@ def windowed_elbo_terms(params: GPSSMParams, data: SSMData,
     y_win = jax.lax.dynamic_slice_in_dim(data.y, start, window_n)
 
     y_mean = emission_mean(x_win[1:], params.c, params.d)
-    log_lik = jnp.sum(emission_log_lik_rows(params, y_win, y_mean,
-                                            emission_noise))
+    log_lik = wsum(emission_log_lik_rows(params, y_win, y_mean,
+                                         emission_noise))
     nll_log_likelihood = -log_lik / batch
 
     hyper_prior = priors.hyperparameter_prior(params.log_q, params.c,
@@ -190,11 +209,11 @@ def windowed_elbo_terms(params: GPSSMParams, data: SSMData,
     if u_collapse:
         term1, term2, trace = cond.collapsed_bound_terms(
             kernel_type, params.kernel, pre, params.z, x_win, xc, q,
-            gram_scale=float(n) / float(window_n))
+            mask=mask_win, gram_scale=gram_scale)
         later_term1 = term1 / y_n
         later_term2 = term2 / y_n
         nll_trace = trace / y_n
-        x_t_prior_q = -jnp.sum(logdensity_norm_diag_nonvec(
+        x_t_prior_q = -wsum(logdensity_norm_diag_nonvec(
             x_win[1:], x_win[:-1], jnp.sqrt(q))) / batch
         nll_part_prior = -part_prior / y_n
         nll = (nll_part_prior + nll_log_likelihood + x_t_prior_q
@@ -206,8 +225,8 @@ def windowed_elbo_terms(params: GPSSMParams, data: SSMData,
         mean = mean + x_win[:-1]
         reg_trace = -0.5 * jnp.sum(var / q[None, :], axis=1)
         reg_x_prior = logdensity_norm_diag(x_win[1:], mean, jnp.sqrt(q))
-        nll_trace = -jnp.sum(reg_trace) / batch
-        x_t_prior_q = -jnp.sum(reg_x_prior) / batch
+        nll_trace = -wsum(reg_trace) / batch
+        x_t_prior_q = -wsum(reg_x_prior) / batch
         nll_part_prior = -(part_prior + priors.prior_u(params.u)) / y_n
         nll = nll_part_prior + nll_log_likelihood + x_t_prior_q + nll_trace
 

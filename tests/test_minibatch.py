@@ -113,6 +113,59 @@ def test_minibatch_size_full_or_larger_is_full_batch():
     assert tr.window_n is None
 
 
+@pytest.mark.parametrize("u_collapse", [True, False])
+def test_masked_window_matches_unpadded(u_collapse):
+    """A window inside the real prefix of a padded dataset must equal the
+    same window on the unpadded dataset with Y_N = real_n (the padded rows
+    contribute nothing; parallel/multidataset.py pads as a suffix)."""
+    from ffvd_tpu.parallel.multidataset import pad_dataset as _pad
+
+    data, params = _setup(n=32)
+    n = params.n_transitions
+    pdata, pparams = _pad(data, params, n + 16)
+    w = 8
+    for s in (0, n // 2, n - w):
+        ref = windowed_elbo_terms(params, data, jnp.asarray(s), w,
+                                  u_collapse=u_collapse)
+        got = windowed_elbo_terms(pparams, pdata, jnp.asarray(s), w,
+                                  u_collapse=u_collapse)
+        for k in ref:
+            np.testing.assert_allclose(float(got[k]), float(ref[k]),
+                                       rtol=1e-10, err_msg=f"{k}@{s}")
+
+
+def test_masked_window_straddling_padding_is_finite():
+    """Even a window that overlaps the padded suffix (possible only when
+    window_n > real_n) stays finite: padded rows are zero-weighted and
+    batch is clamped to ≥1."""
+    from ffvd_tpu.parallel.multidataset import pad_dataset as _pad
+
+    data, params = _setup(n=16)
+    n = params.n_transitions
+    pdata, pparams = _pad(data, params, n + 8)
+    t = windowed_elbo_terms(pparams, pdata, jnp.asarray(n - 4), 12)
+    assert all(np.isfinite(float(v)) for v in t.values())
+
+
+def test_masked_windowed_training_runs():
+    """Trainer minibatching on padded data: starts stay in the real prefix
+    and the full masked objective improves."""
+    from ffvd_tpu.parallel.multidataset import pad_dataset as _pad
+
+    data, params = _setup(n=48)
+    pdata, pparams = _pad(data, params, 64)
+    cfg = FFVDConfig(dataset="ballbeam", case=4, num_inducing=12, x_dim=2,
+                     minibatch_size=16)
+    tr = Trainer(cfg, pdata)
+    assert tr.window_n == 16
+    state, nlls = tr.run(tr.init_state(pparams), 60, jax.random.key(0),
+                         chunk_size=30)
+    assert bool(jnp.all(jnp.isfinite(nlls)))
+    nll0 = float(tr.nll_fn(pparams, pdata))
+    nll1 = float(tr.nll_fn(state.params, pdata))
+    assert nll1 < nll0
+
+
 def test_windowed_start_range():
     """All valid starts produce finite objectives; the last window touches
     the final transition."""

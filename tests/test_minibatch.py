@@ -166,6 +166,27 @@ def test_masked_windowed_training_runs():
     assert nll1 < nll0
 
 
+def test_multidataset_windowed_training():
+    """Stacked different-length datasets + minibatch windows: the vmapped
+    protocol draws per-dataset starts inside each real prefix and trains
+    finitely."""
+    from ffvd_tpu.parallel.multidataset import MultiDatasetTrainer, pad_dataset
+
+    pairs = [pad_dataset(*_setup(n=n, seed=s), 48) for n, s in ((32, 0),
+                                                                (48, 1))]
+    stack = lambda trees: jax.tree.map(lambda *a: jnp.stack(a), *trees)
+    sdata = stack([d for d, _ in pairs])
+    sparams = stack([p for _, p in pairs])
+    cfg = FFVDConfig(dataset="ballbeam", case=4, num_inducing=12, x_dim=2,
+                     minibatch_size=16)
+    mt = MultiDatasetTrainer(cfg, sdata)
+    assert mt.base.window_n == 16
+    state, nlls = mt.run(mt.init_state(sparams), 20, jax.random.key(0),
+                         chunk_size=10)
+    assert nlls.shape == (20, 2)
+    assert bool(jnp.all(jnp.isfinite(nlls)))
+
+
 def test_windowed_start_range():
     """All valid starts produce finite objectives; the last window touches
     the final transition."""

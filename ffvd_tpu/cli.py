@@ -64,6 +64,16 @@ def build_argparser() -> argparse.ArgumentParser:
                         "variance slip (dim 0's q(U) factor applied to every "
                         "dim; conditionals_multi_output.py:322) for NLL "
                         "parity studies")
+    p.add_argument("--pg_ancestor_trace", action="store_true",
+                   help="use the ancestor-traced CSMC (coherent smoothing-"
+                        "posterior draws) instead of the reference's "
+                        "resampled-state storage")
+    p.add_argument("--pg_compat_noop", action="store_true",
+                   help="bug-compat: the reference's PG op never updates X "
+                        "(the assign at base_model.py:137 is not a "
+                        "dependency of the tf.ones(1) fetch) — leave X at "
+                        "its warm start like the reference's C6 actually "
+                        "does")
     p.add_argument("--platform", choices=["cpu", "tpu", "default"],
                    default="default")
     p.add_argument("--precision", choices=["fp32", "fp64"], default=None,
@@ -111,7 +121,9 @@ def main(argv=None):
         hyperparameter_sampling=args.hyperparameter_sampling,
         prng_impl=args.prng_impl, pg_particles=100, seed=args.seed,
         minibatch_size=args.minibatch_size,
-        rollout_qsqrt_dim0=args.rollout_qsqrt_dim0)
+        rollout_qsqrt_dim0=args.rollout_qsqrt_dim0,
+        pg_compat_noop=args.pg_compat_noop,
+        pg_ancestor_trace=args.pg_ancestor_trace)
 
     print(f"#### {dataset} | case C{cfg.case} | {platform} {precision} ####")
 

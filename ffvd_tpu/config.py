@@ -96,6 +96,16 @@ class FFVDConfig:
     # base_model.py:83-133); True = proper ancestor-traced CSMC whose output
     # is a coherent smoothing-posterior draw (beyond-parity upgrade).
     pg_ancestor_trace: bool = False
+    # Bug-compat: the reference's PG op NEVER updates X — PG_for_X_speedup
+    # returns ``tf.ones(1)`` (base_model.py:138) and the
+    # ``tf.compat.v1.assign`` at :137 is not a dependency of that fetch, so
+    # ``session.run(pg_x_sampling_op)`` executes an input-less constant
+    # (verified empirically against the reference graph: X is bit-identical
+    # after gp_x_sampling() calls).  Reference C6 is therefore "C1 with X
+    # frozen at its warm start".  True reproduces that: pg_fn becomes the
+    # identity and X stays at initialization.  False (default) runs the
+    # conditional-SMC resampling the reference *intended*.
+    pg_compat_noop: bool = False
     # Random-window minibatch training: size of the time window per gradient
     # evaluation (None = full batch, the reference's only exercised mode).
     # The reference carries the plumbing (batch_placeholder base_model.py:16,

@@ -153,4 +153,8 @@ def make_pg_fn(cfg: FFVDConfig, data: SSMData = None) -> Callable:
             return pg_ancestor_style(params, key, data)
         return pg_reference_style(params, key, data)
 
+    if cfg.pg_compat_noop:
+        # The reference's PG assign is dead in its graph (see
+        # FFVDConfig.pg_compat_noop): reproduce by leaving X untouched.
+        return lambda params, key, data=None: params
     return pg_fn

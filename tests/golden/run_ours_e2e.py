@@ -32,7 +32,8 @@ def main():
     case = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     tag = sys.argv[4] if len(sys.argv) > 4 else None
-    compat = len(sys.argv) > 5 and sys.argv[5] == "compat"
+    mode = sys.argv[5] if len(sys.argv) > 5 else None
+    compat = mode == "compat"
 
     from ffvd_tpu import cli
     argv = [
@@ -44,6 +45,10 @@ def main():
     ]
     if compat:
         argv.append("--rollout_qsqrt_dim0")
+    if mode == "pgnoop":
+        argv.append("--pg_compat_noop")
+    if mode == "ancestor":
+        argv.append("--pg_ancestor_trace")
     res = cli.main(argv)
 
     key = dataset if (case == 4 and tag is None) else f"{dataset}_C{case}"
@@ -55,6 +60,8 @@ def main():
            "seed": seed, "case": f"C{case}"}
     if compat:
         rec["rollout_qsqrt_dim0"] = True
+    elif mode:
+        rec["mode"] = mode
     all_rec = json.loads(OUT.read_text()) if OUT.exists() else {}
     all_rec[key] = rec
     OUT.write_text(json.dumps(all_rec, indent=2))

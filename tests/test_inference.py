@@ -188,6 +188,29 @@ def test_pg_resamples_trajectory():
     np.testing.assert_array_equal(np.asarray(out.u), np.asarray(params.u))
 
 
+def test_pg_compat_noop_leaves_x_at_init():
+    """The reference's PG op never updates X: its assign
+    (base_model.py:137) is not a dependency of the returned tf.ones(1)
+    fetch, so session.run(pg_x_sampling_op) is a no-op (verified against the
+    executed reference graph — see FFVDConfig.pg_compat_noop).  The compat
+    flag reproduces that: C6 trains with X frozen at its warm start."""
+    params, data = small_model()
+    cfg = _mini_cfg(6, pg_particles=16, pg_compat_noop=True)
+    pg = make_pg_fn(cfg, data)
+    out = pg(params, jax.random.key(5))
+    np.testing.assert_array_equal(np.asarray(out.x), np.asarray(params.x))
+
+    # And through a full training step: X bit-identical, others move.
+    from ffvd_tpu.inference.trainer import Trainer
+    tr = Trainer(cfg, data, pg_fn=pg)
+    st = tr.init_state(params)
+    st2, _ = tr.run(st, 3, jax.random.key(0), chunk_size=3)
+    np.testing.assert_array_equal(np.asarray(st2.params.x),
+                                  np.asarray(params.x))
+    assert not np.array_equal(np.asarray(st2.params.u),
+                              np.asarray(params.u))
+
+
 def test_pg_keeps_reference_with_prob_1_over_p():
     params, data = small_model()
     cfg = _mini_cfg(6, pg_particles=4)

@@ -68,14 +68,23 @@ class FFVDModel:
     def fit(self, num_iterations: Optional[int] = None,
             chunk_size: int = 500,
             eval_every: Optional[int] = None,
-            eval_samples: int = 3) -> "FFVDModel":
+            eval_samples: int = 3,
+            tensorboard_dir: Optional[str] = None) -> "FFVDModel":
         """Train; with ``eval_every`` also record (iteration, RMSE, NLL)
         into ``self.rmse_seq`` — the working version of the reference's dead
         per-iteration tracker (RMSE_calculate_per_iteration,
-        base_model.py:777-909, call commented at models.py:190)."""
+        base_model.py:777-909, call commented at models.py:190).
+
+        ``tensorboard_dir``: write the reference's gated-off summary set
+        (models.py:94-131) per training chunk via
+        utils.metrics.TensorBoardSink."""
         n = num_iterations or self.cfg.total_iterations
         if not hasattr(self, "rmse_seq"):
             self.rmse_seq = []
+        tb = None
+        if tensorboard_dir is not None:
+            from ffvd_tpu.utils.metrics import TensorBoardSink
+            tb = TensorBoardSink(tensorboard_dir)
         done = 0
         step = min(chunk_size, eval_every or n)
         while done < n:
@@ -85,10 +94,15 @@ class FFVDModel:
                                                 chunk_size=chunk_size)
             self.nll_trace = jnp.concatenate([self.nll_trace, nlls])
             done += m
+            if tb is not None:
+                tb.write(self.state.params, float(nlls[-1]),
+                         int(self.state.step))
             if eval_every and (done % eval_every == 0 or done == n):
                 res = self.evaluate_quick(eval_samples)
                 self.rmse_seq.append((int(self.state.step), res["rmse"],
                                       res["nll"]))
+        if tb is not None:
+            tb.close()
         return self
 
     def evaluate_quick(self, num_samples: int = 3, horizon: int = 30):

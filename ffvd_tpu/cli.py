@@ -74,6 +74,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "dependency of the tf.ones(1) fetch) — leave X at "
                         "its warm start like the reference's C6 actually "
                         "does")
+    p.add_argument("--tensorboard_dir", type=str, default=None,
+                   help="write the reference's (gated-off) TensorBoard "
+                        "summary set per training chunk (models.py:94-131)")
     p.add_argument("--platform", choices=["cpu", "tpu", "default"],
                    default="default")
     p.add_argument("--precision", choices=["fp32", "fp64"], default=None,
@@ -131,7 +134,8 @@ def main(argv=None):
     model = FFVDModel(cfg, dtype=dtype)  # data→warm-start→adapt→trainer
 
     t0 = time.time()
-    model.fit(chunk_size=args.chunk_size)
+    model.fit(chunk_size=args.chunk_size,
+              tensorboard_dir=args.tensorboard_dir)
     train_time = time.time() - t0
     nlls = model.nll_trace
     print(f"trained {cfg.total_iterations} iters in {train_time:.2f}s "

@@ -69,3 +69,42 @@ class MetricsLogger:
     def close(self):
         if self._fh:
             self._fh.close()
+
+
+class TensorBoardSink:
+    """The reference's fully-written-but-gated-off TensorBoard summaries
+    (models.py:94-131, hardcoded ``write_tensorboard=False``), made live.
+
+    Same summary set, same tag scheme: histograms of C / D / log-Rchols /
+    log-Q / per-dim X and U columns / per-dim kernel log-lengthscales,
+    scalars of per-dim kernel log-variance and the marginal LL.  Uses
+    torch.utils.tensorboard (event-file format is framework-neutral);
+    constructing the sink raises ImportError if tensorboard is unavailable.
+    """
+
+    def __init__(self, logdir: str):
+        from torch.utils.tensorboard import SummaryWriter
+        self._w = SummaryWriter(log_dir=str(logdir))
+
+    def write(self, params, nll: float, step: int) -> None:
+        import numpy as np
+        w = self._w
+        w.add_scalar("marginal-ll", -float(nll), step)
+        w.add_histogram("CC-histogram", np.asarray(params.c), step)
+        w.add_histogram("DD-histogram", np.asarray(params.d), step)
+        w.add_histogram("log-Rchols-histogram",
+                        np.asarray(params.log_rchol), step)
+        w.add_histogram("log-Q-histogram", np.asarray(params.log_q), step)
+        x = np.asarray(params.x)
+        u = np.asarray(params.u)
+        lv = np.asarray(params.kernel.log_variance)
+        ll = np.asarray(params.kernel.log_lengthscales)
+        for d in range(x.shape[1]):
+            w.add_histogram(f"x{d}-histogram", x[:, d], step)
+            w.add_histogram(f"U{d}-histogram", u[:, d], step)
+            w.add_scalar(f"kernel-{d}-log-variance", float(lv[d]), step)
+            w.add_histogram(f"kernel-{d}-log-lengthscales-histogram",
+                            ll[d], step)
+
+    def close(self):
+        self._w.close()

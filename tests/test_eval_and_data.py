@@ -70,6 +70,37 @@ def test_rollout_near_deterministic_when_noise_tiny():
     np.testing.assert_allclose(np.asarray(xs), expected, atol=1e-4)
 
 
+def test_tensorboard_sink_writes_reference_summary_set(tmp_path):
+    """utils.metrics.TensorBoardSink — the reference's gated-off summary set
+    (models.py:94-131) made live.  Write two steps, read the event file back
+    and check the tag scheme."""
+    pytest.importorskip("torch.utils.tensorboard")
+    from ffvd_tpu.utils.metrics import TensorBoardSink
+
+    params, _ = small_model(n=10)
+    sink = TensorBoardSink(str(tmp_path))
+    sink.write(params, nll=-1.5, step=1)
+    sink.write(params, nll=-2.5, step=2)
+    sink.close()
+    files = list(tmp_path.glob("events.out.tfevents.*"))
+    assert files and files[0].stat().st_size > 0
+    try:
+        from tensorboard.backend.event_processing.event_accumulator import \
+            EventAccumulator
+    except ImportError:
+        return
+    acc = EventAccumulator(str(tmp_path))
+    acc.Reload()
+    scalars = set(acc.Tags()["scalars"])
+    hists = set(acc.Tags()["histograms"])
+    assert "marginal-ll" in scalars
+    assert "kernel-0-log-variance" in scalars
+    assert {"CC-histogram", "DD-histogram", "log-Q-histogram",
+            "x0-histogram", "U1-histogram"} <= hists
+    vals = [e.value for e in acc.Scalars("marginal-ll")]
+    assert vals == [1.5, 2.5]
+
+
 def test_predict_summary_and_metrics():
     params, data = small_model(n=10)
     s, t, d = 4, 6, 2

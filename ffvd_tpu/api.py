@@ -52,6 +52,14 @@ class FFVDModel:
         if cfg.num_inducing != params.z.shape[0]:
             from ffvd_tpu.parallel.multidataset import _resize_inducing
             params = _resize_inducing(params, cfg.num_inducing, cfg.seed)
+        if cfg.n_layers > 1 and not params.hidden:
+            # deep transition: near-identity hidden layers grafted onto the
+            # (single-layer) warm start — see model/deep.py
+            import dataclasses as _dc
+
+            from ffvd_tpu.model.params import init_hidden_layers
+            params = _dc.replace(params, hidden=init_hidden_layers(
+                jax.random.key(cfg.seed), cfg.n_layers - 1, params))
         self.data = SSMData(
             y=jnp.asarray(self.dataset.y_train, dtype=dtype),
             control=jnp.asarray(self.dataset.control, dtype=dtype))

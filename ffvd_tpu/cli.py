@@ -103,16 +103,10 @@ def main(argv=None):
     from ffvd_tpu.api import FFVDModel
     from ffvd_tpu.config import FILE_INDEX_ORDER, FFVDConfig
 
-    if args.n_layers != 1:
-        # The reference parses --n_layers but its deep path is dead code:
-        # Layer.fixed_mean is never applied (dgp_model.py:101-102 commented),
-        # and the kernels[l+1][0] indexing breaks for the live multi-output
-        # kernel lists.  Single-layer is the only functioning configuration.
-        raise NotImplementedError(
-            "n_layers > 1: the reference's deep-GP path is non-functional "
-            "dead code (SURVEY.md §2.7); only the single-layer GPSSM is "
-            "supported")
-
+    # The reference parses --n_layers but its deep path is dead code
+    # (propagate() has no call site, the ELBO reads only layers[-1],
+    # dgp_model.py:362-379).  Here n_layers > 1 runs a real deep transition:
+    # doubly-stochastic hidden sparse-GP layers — see model/deep.py.
     dataset = FILE_INDEX_ORDER[args.file_index]
     cfg = FFVDConfig(
         dataset=dataset, case=args.case_val, num_inducing=args.num_inducing,
@@ -123,7 +117,7 @@ def main(argv=None):
         kernel_train_flag=args.kernel_train_flag, file_id=args.file_id,
         hyperparameter_sampling=args.hyperparameter_sampling,
         prng_impl=args.prng_impl, pg_particles=100, seed=args.seed,
-        minibatch_size=args.minibatch_size,
+        minibatch_size=args.minibatch_size, n_layers=args.n_layers,
         rollout_qsqrt_dim0=args.rollout_qsqrt_dim0,
         pg_compat_noop=args.pg_compat_noop,
         pg_ancestor_trace=args.pg_ancestor_trace)

@@ -127,6 +127,12 @@ class FFVDConfig:
     # likelihoods.py:114-127, made live — its own P>1 ELBO is broken,
     # dgp_model.py:250).  "diag"/"full" force one or the other.
     emission_noise: str = "auto"
+    # Deep transition: number of GP layers (1 = the reference model).  The
+    # reference parses --n_layers (FFVD_Main.py:371) but its deep path is
+    # dead code (propagate() has no call site, the ELBO reads only
+    # layers[-1]); here n_layers > 1 trains a real doubly-stochastic deep
+    # sparse-GP transition (model/deep.py) with n_layers−1 hidden layers.
+    n_layers: int = 1
     file_id: int = 3                # warm-start file selector (FFVD_Main.py:363)
     seed: int = 0
 
@@ -141,6 +147,13 @@ class FFVDConfig:
             raise ValueError(f"invalid emission_noise {self.emission_noise!r}")
         if self.minibatch_size is not None and self.minibatch_size < 1:
             raise ValueError("minibatch_size must be >= 1 or None")
+        if self.n_layers < 1:
+            raise ValueError("n_layers must be >= 1")
+        if self.n_layers > 1 and self.case_config.x_pg:
+            raise ValueError(
+                "deep transitions (n_layers > 1) with particle Gibbs (C6) "
+                "are not supported: PG transition weights would need the "
+                "hidden layers marginalized per particle")
 
     @property
     def case_config(self) -> CaseConfig:

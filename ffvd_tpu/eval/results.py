@@ -25,8 +25,19 @@ def save_results_npz(path, *, params: GPSSMParams, fit_y, predict_y,
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     p = params
+    # Deep transitions (model/deep.py): hidden layers have no reference key
+    # schema — saved under an ffvd_tpu-only prefix.
+    hidden_kw = {}
+    for i, layer in enumerate(p.hidden):
+        hidden_kw[f"hidden{i}_U_val"] = np.asarray(layer.u)
+        hidden_kw[f"hidden{i}_Z_val"] = np.asarray(layer.z)
+        hidden_kw[f"hidden{i}_k_lengthscales"] = np.asarray(
+            layer.kernel.log_lengthscales)
+        hidden_kw[f"hidden{i}_k_log_variances"] = np.asarray(
+            layer.kernel.log_variance)
     np.savez_compressed(
         path,
+        **hidden_kw,
         y_train_vfe=np.asarray(fit_y).reshape(-1),
         y_test_vfe=np.asarray(predict_y).reshape(-1),
         v_test_vfe_var=np.asarray(predict_y_var).reshape(-1),

@@ -42,17 +42,29 @@ from ffvd_tpu.model.params import GPSSMParams
 
 
 def _rollout_one(kernel_type: str, jitter: float, kparams, z, u_val,
-                 q_sqrt, q, x0, controls, key) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 q_sqrt, q, x0, controls, key,
+                 hidden=()) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One free-running trajectory of length T = controls.shape[0].
 
-    x0: (D,), controls: (T, U) — returns (xs (T, D), var_tot (T, D))."""
+    x0: (D,), controls: (T, U) — returns (xs (T, D), var_tot (T, D)).
+    ``hidden``: deep-transition layers (model/deep.py); per step the state
+    is propagated through them with fresh inter-layer samples before the
+    head conditional."""
     pre = kernel_precal(kernel_type, kparams, z, jitter)
+    if hidden:
+        from ffvd_tpu.model.deep import hidden_precals, propagate_step
+        hpre = hidden_precals(kernel_type, jitter, hidden)
     t = controls.shape[0]
     keys = jax.random.split(key, t)
 
     def step(x_t, inp):
         k, ctrl = inp
-        xc = jnp.concatenate([x_t, ctrl])[None, :]
+        h_t = x_t
+        if hidden:
+            k, k_prop = jax.random.split(k)
+            h_t = propagate_step(kernel_type, jitter, hidden, hpre,
+                                 x_t, ctrl, k_prop)
+        xc = jnp.concatenate([h_t, ctrl])[None, :]
         mu, var = whitened_conditional(kernel_type, kparams, pre, z, u_val,
                                        xc, q_sqrt=q_sqrt)
         mean = mu[0] + x_t
@@ -100,11 +112,18 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
         if collapse:
             pre = kernel_precal(kt, params.kernel, params.z, jit_)
             n = params.n_transitions
+            h = params.x[:n]
+            if params.hidden:
+                # deterministic mean propagation for the collapsed q(U)
+                # (training samples the layers; the collapse is a point
+                # summary — see model/deep.py)
+                from ffvd_tpu.model.deep import propagate_hidden
+                h = propagate_hidden(kt, jit_, params.hidden, h,
+                                     trainer.data.control[:n], None)
             if controls.shape[1] > 0:
-                xc = jnp.concatenate(
-                    [params.x[:n], trainer.data.control[:n]], axis=1)
+                xc = jnp.concatenate([h, trainer.data.control[:n]], axis=1)
             else:
-                xc = params.x[:n]
+                xc = h
             u_val, q_sqrt = collapsed_u_posterior(
                 kt, params.kernel, pre, params.z, params.x, xc, params.q)
             if cfg.rollout_qsqrt_dim0:
@@ -146,7 +165,7 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
                 u_val, q_sqrt = u_and_qsqrt(p)
                 xs, vs = _rollout_one(kt, jit_, p.kernel, p.z,
                                       u_val, q_sqrt, p.q, p.x[-1],
-                                      controls, k_roll)
+                                      controls, k_roll, hidden=p.hidden)
                 return (sub, sstate), (xs, vs)
 
             (sub, sstate), (xs, vs) = jax.lax.scan(
@@ -161,7 +180,8 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
             u_val, q_sqrt = u_and_qsqrt(params)
             roll = functools.partial(_rollout_one, kt, jit_, params.kernel,
                                      params.z, u_val, q_sqrt, params.q,
-                                     params.x[-1], controls)
+                                     params.x[-1], controls,
+                                     hidden=params.hidden)
             xs, vs = jax.vmap(roll)(jax.random.split(key, num))
             return xs, vs, state
 

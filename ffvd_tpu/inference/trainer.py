@@ -36,20 +36,34 @@ import optax
 from ffvd_tpu.config import ADAM, SGHMC, FFVDConfig, partition_for
 from ffvd_tpu.inference.sghmc import SGHMCState, sghmc_init, sghmc_step
 from ffvd_tpu.model.elbo import negative_elbo, windowed_negative_elbo
-from ffvd_tpu.model.params import GPSSMParams, SSMData
+from ffvd_tpu.model.params import GPSSMParams, HiddenLayerParams, SSMData
 from ffvd_tpu.ops.kernels import KernelParams
 
 Pytree = Any
 
 
 def label_tree(cfg: FFVDConfig) -> GPSSMParams:
-    """A GPSSMParams-shaped pytree of 'adam'/'sghmc'/'frozen' string labels."""
+    """A GPSSMParams-shaped pytree of 'adam'/'sghmc'/'frozen' string labels.
+
+    Hidden deep-transition layers (cfg.n_layers > 1, model/deep.py) follow
+    the case's u/z/kernel partition like the head layer — the reference
+    applies its trainability flags per layer too (dgp_model.py:213-243) —
+    except that a collapsed head (C4/C5) leaves hidden U as a trainable
+    point estimate (ADAM): only the head's U has an analytic collapse."""
     part = partition_for(cfg)
+    hidden_u = ADAM if cfg.case_config.u_collapse else part.u
+    hidden = tuple(
+        HiddenLayerParams(
+            u=hidden_u, z=part.z,
+            kernel=KernelParams(log_variance=part.kernel,
+                                log_lengthscales=part.kernel))
+        for _ in range(cfg.n_layers - 1))
     return GPSSMParams(
         x=part.x, u=part.u, z=part.z,
         kernel=KernelParams(log_variance=part.kernel,
                             log_lengthscales=part.kernel),
         log_q=part.log_q, c=part.lik, d=part.lik, log_rchol=part.lik,
+        hidden=hidden,
     )
 
 
@@ -146,6 +160,12 @@ class Trainer:
         self.pg_fn = pg_fn
         if cfg.case_config.x_pg and pg_fn is None:
             raise ValueError("case C6 requires a particle-Gibbs function")
+        # Deep transitions (cfg.n_layers > 1): the objective is doubly
+        # stochastic — every training gradient draws fresh inter-layer noise
+        # (model/deep.py), so a PRNG key is threaded into each nll/grad call.
+        # Reporting-only evaluations (and eval-time SGHMC thinning,
+        # rollout.py) use the deterministic mean-propagated objective.
+        self.stochastic = cfg.n_layers > 1
 
         # nll(params, data): data stays an explicit argument so stacked
         # datasets can be vmapped through the same step (BASELINE config 5).
@@ -217,20 +237,39 @@ class Trainer:
         return jax.random.randint(key, (), 0, hi)
 
     def _train_grad(self, params, data, key):
-        """Gradient for one training sub-step; fresh window per evaluation."""
+        """Gradient for one training sub-step; fresh window (and fresh deep
+        inter-layer noise) per evaluation."""
         if self.window_n is None:
+            if self.stochastic:
+                return self.grad_fn(params, data, key=key)
             return self.grad_fn(params, data)
+        if self.stochastic:
+            k_start, k_prop = jax.random.split(key)
+            return self._win_grad(params, data,
+                                  self._draw_start(k_start, data), key=k_prop)
         return self._win_grad(params, data, self._draw_start(key, data))
 
     def _train_value_grad(self, params, data, key):
         if self.window_n is None:
+            if self.stochastic:
+                return self.value_grad_fn(params, data, key=key)
             return self.value_grad_fn(params, data)
+        if self.stochastic:
+            k_start, k_prop = jax.random.split(key)
+            return self._win_value_grad(
+                params, data, self._draw_start(k_start, data), key=k_prop)
         return self._win_value_grad(params, data,
                                     self._draw_start(key, data))
 
     # -- state ------------------------------------------------------------
 
     def init_state(self, params: GPSSMParams) -> TrainState:
+        if len(params.hidden) != self.cfg.n_layers - 1:
+            raise ValueError(
+                f"params has {len(params.hidden)} hidden layers but "
+                f"cfg.n_layers={self.cfg.n_layers} expects "
+                f"{self.cfg.n_layers - 1} (see model/deep.py; "
+                "init_hidden_layers grafts them onto a shallow start)")
         w = self.cfg.window_size
         # Only SGHMC-labeled leaves are ever read back from the window
         # (the reference windows only self.vars, base_model.py:927-933);
@@ -273,17 +312,23 @@ class Trainer:
         def sub_nll(sub, k_win):
             p = ops.merge(sub, params)
             if self.window_n is None:
+                if self.stochastic:
+                    return self.nll_fn(p, data, key=k_win)
                 return self.nll_fn(p, data)
+            if self.stochastic:
+                k_start, k_prop = jax.random.split(k_win)
+                return self._win_nll(p, data, self._draw_start(k_start, data),
+                                     key=k_prop)
             return self._win_nll(p, data, self._draw_start(k_win, data))
 
         sub_grad = jax.grad(sub_nll)
 
         def body(carry, inp):
             flag, k = inp
-            if self.window_n is not None:   # static: keep the full-batch
-                k, k_win = jax.random.split(k)  # PRNG stream unchanged
-            else:
-                k_win = None
+            if self.window_n is not None or self.stochastic:
+                k, k_win = jax.random.split(k)  # static branch: keeps the
+            else:                               # full-batch PRNG stream of
+                k_win = None                    # shallow runs unchanged
             sub, ss = carry
             grads = sanitize_grads(sub_grad(sub, k_win), gclip)
             sub2, ss2 = sghmc_step(
@@ -319,9 +364,9 @@ class Trainer:
 
         adam_state = state.adam
         if self.has_adam:
-            if self.window_n is not None:   # static: see _sghmc_phase note
+            if self.window_n is not None or self.stochastic:
                 k_feed, k_win = jax.random.split(k_feed)
-            else:
+            else:                           # static: see _sghmc_phase note
                 k_win = None
             if self.has_sghmc:
                 i = jax.random.randint(k_feed, (), 0, jnp.maximum(count, 1))

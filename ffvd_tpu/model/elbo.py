@@ -31,13 +31,22 @@ from ffvd_tpu.ops.densities import (logdensity_norm_diag,
                                     logdensity_norm_diag_nonvec)
 
 
-def _gp_inputs(params: GPSSMParams, data: SSMData) -> jnp.ndarray:
-    """x̃_t = concat(x_t, u_t) over the N training transitions
-    (dgp_model.py:267-271 / :339-342)."""
+def _gp_inputs(params: GPSSMParams, data: SSMData, *,
+               kernel_type: str = "SquaredExponential",
+               jitter: float = 1e-5, key=None) -> jnp.ndarray:
+    """x̃_t = concat(h_t, u_t) over the N training transitions
+    (dgp_model.py:267-271 / :339-342), where h_t = x_t for the single-layer
+    model and the hidden-layer propagation of x_t for a deep transition
+    (model/deep.py; sampled when ``key`` is given)."""
     n = params.n_transitions
     x_prev = params.x[:n]
+    ctrl = data.control[:n]
+    if params.hidden:
+        from ffvd_tpu.model.deep import propagate_hidden
+        x_prev = propagate_hidden(kernel_type, jitter, params.hidden,
+                                  x_prev, ctrl, key)
     if data.control.shape[1] > 0:
-        return jnp.concatenate([x_prev, data.control[:n]], axis=1)
+        return jnp.concatenate([x_prev, ctrl], axis=1)
     return x_prev
 
 
@@ -46,8 +55,13 @@ def elbo_terms(params: GPSSMParams, data: SSMData, *,
                prior_type: str = "normal",
                u_collapse: bool = True,
                jitter: float = 1e-5,
-               emission_noise: str = "auto") -> Dict[str, jnp.ndarray]:
-    """All nll terms.  Returns a dict whose 'nll' entry is the objective."""
+               emission_noise: str = "auto",
+               key=None) -> Dict[str, jnp.ndarray]:
+    """All nll terms.  Returns a dict whose 'nll' entry is the objective.
+
+    ``key``: PRNG key for the doubly-stochastic deep transition (only read
+    when ``params.hidden`` is non-empty; key=None propagates layer means —
+    see model/deep.py)."""
     n = params.n_transitions
     mask = data.mask
     if mask is None:
@@ -81,8 +95,13 @@ def elbo_terms(params: GPSSMParams, data: SSMData, *,
                                    params.z)
                   + priors.prior_x0(params.x[0])
                   + hyper_prior)
+    if params.hidden:
+        from ffvd_tpu.model.deep import hidden_priors
+        part_prior = part_prior + hidden_priors(kernel_type, prior_type,
+                                                params.hidden)
 
-    xc = _gp_inputs(params, data)
+    xc = _gp_inputs(params, data, kernel_type=kernel_type, jitter=jitter,
+                    key=key)
     pre = cond.kernel_precal(kernel_type, params.kernel, params.z, jitter)
 
     terms: Dict[str, jnp.ndarray] = {}
@@ -132,9 +151,11 @@ def windowed_elbo_terms(params: GPSSMParams, data: SSMData,
                         prior_type: str = "normal",
                         u_collapse: bool = True,
                         jitter: float = 1e-5,
-                        emission_noise: str = "auto") -> Dict[str, jnp.ndarray]:
+                        emission_noise: str = "auto",
+                        key=None) -> Dict[str, jnp.ndarray]:
     """Minibatch (random time window) objective — the reference's
-    batch_placeholder semantics made live.
+    batch_placeholder semantics made live.  ``key``: deep-transition
+    sampling key (see elbo_terms).
 
     The reference carries full minibatch plumbing (``batch_placeholder``
     base_model.py:16, batch slicing dgp_model.py:248-284, the
@@ -198,11 +219,18 @@ def windowed_elbo_terms(params: GPSSMParams, data: SSMData,
                   + priors.prior_x0(params.x[0])
                   + hyper_prior)
 
+    ctrl_win = jax.lax.dynamic_slice_in_dim(data.control, start, window_n)
+    h_win = x_win[:-1]
+    if params.hidden:
+        from ffvd_tpu.model.deep import hidden_priors, propagate_hidden
+        part_prior = part_prior + hidden_priors(kernel_type, prior_type,
+                                                params.hidden)
+        h_win = propagate_hidden(kernel_type, jitter, params.hidden,
+                                 h_win, ctrl_win, key)
     if data.control.shape[1] > 0:
-        ctrl_win = jax.lax.dynamic_slice_in_dim(data.control, start, window_n)
-        xc = jnp.concatenate([x_win[:-1], ctrl_win], axis=1)
+        xc = jnp.concatenate([h_win, ctrl_win], axis=1)
     else:
-        xc = x_win[:-1]
+        xc = h_win
     pre = cond.kernel_precal(kernel_type, params.kernel, params.z, jitter)
 
     terms: Dict[str, jnp.ndarray] = {}

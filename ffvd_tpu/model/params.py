@@ -17,13 +17,32 @@ live in one flat, jit-friendly dataclass pytree.  Shapes (ballbeam defaults):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ffvd_tpu.ops.kernels import KernelParams
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class HiddenLayerParams:
+    """One hidden layer of a deep GP-SSM transition (model/deep.py).
+
+    The reference parses ``--n_layers`` and builds per-layer ``Layer``
+    objects (dgp_model.py:187-199), but its deep path is dead code:
+    ``propagate`` (dgp_model.py:362-379) has no call site and the ELBO only
+    reads ``self.layers[-1]``.  This is the live per-layer inducing set of
+    the functional rebuild.  Shapes: u (M, D) whitened inducing outputs,
+    z (M, D + U) inducing inputs (every layer re-ingests the control), and
+    per-output-dim kernel hyperparameters like the head layer's.
+    """
+
+    u: jnp.ndarray
+    z: jnp.ndarray
+    kernel: KernelParams
 
 
 @jax.tree_util.register_dataclass
@@ -37,6 +56,10 @@ class GPSSMParams:
     c: jnp.ndarray
     d: jnp.ndarray
     log_rchol: jnp.ndarray
+    # Hidden layers of the deep transition, outermost first; () = the
+    # single-layer GPSSM (every reference-parity configuration).  The head
+    # GP (x/u/z/kernel above) is always the LAST layer.
+    hidden: Tuple[HiddenLayerParams, ...] = ()
 
     @property
     def q(self) -> jnp.ndarray:
@@ -202,6 +225,33 @@ def adapt_warmstart_xdim(params: GPSSMParams, x_dim: int,
                                           dt)], axis=0),
         d=params.d,
         log_rchol=params.log_rchol)
+
+
+def init_hidden_layers(key: jax.Array, n_hidden: int,
+                       head: GPSSMParams) -> Tuple[HiddenLayerParams, ...]:
+    """Initialize ``n_hidden`` deep-transition layers from a trained/warm
+    head layer (see model/deep.py).
+
+    Near-identity start: u = 0 makes every hidden layer's whitened
+    conditional mean zero, so with the identity skip the deep transition
+    equals the shallow one at initialization (plus the layer's predictive
+    variance as inter-layer noise).  Inducing inputs copy the head's Z with
+    a small jitter (they live in the same latent+control space); kernel
+    hyperparameters copy the head's.  The reference has no deep
+    initialization at all (its warm-start files are single-layer).
+    """
+    layers = []
+    m, din = head.z.shape
+    for i in range(n_hidden):
+        key, kz = jax.random.split(key)
+        z = head.z + 0.01 * jax.random.normal(kz, head.z.shape, head.z.dtype)
+        layers.append(HiddenLayerParams(
+            u=jnp.zeros_like(head.u),
+            z=z,
+            kernel=KernelParams(
+                log_variance=head.kernel.log_variance,
+                log_lengthscales=head.kernel.log_lengthscales)))
+    return tuple(layers)
 
 
 def init_params_random(key: jax.Array, n: int, x_dim: int, m: int,

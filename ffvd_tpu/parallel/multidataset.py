@@ -82,6 +82,9 @@ def _resize_inducing(params: GPSSMParams, m: int, seed: int) -> GPSSMParams:
     extra points from the latent-trajectory input distribution so Z stays
     well-separated and Kmm well-conditioned (tiling the warm-start Z would
     make Kmm numerically singular).  The reference has no resize mechanism."""
+    if params.hidden:
+        raise ValueError("resize the inducing set before attaching deep "
+                         "hidden layers (api.py grafts hidden AFTER resize)")
     m0 = params.z.shape[0]
     din = params.z.shape[1]
     rng = np.random.RandomState(seed)

@@ -49,6 +49,9 @@ def main():
         argv.append("--pg_compat_noop")
     if mode == "ancestor":
         argv.append("--pg_ancestor_trace")
+    if mode and mode.startswith("deep"):
+        # deep transition (model/deep.py): modeN = n_layers N
+        argv.extend(["--n_layers", mode[4:] or "2"])
     res = cli.main(argv)
 
     key = dataset if (case == 4 and tag is None) else f"{dataset}_C{case}"

@@ -1,0 +1,141 @@
+"""Deep (multi-layer) GP-SSM transition — model/deep.py.
+
+The reference parses --n_layers but its deep path is dead code: propagate()
+(dgp_model.py:362-379) has no call site and the ELBO reads only
+self.layers[-1].  These tests pin the rebuild's functional deep transition:
+identity initialization collapses to the shallow model, the windowed
+objective agrees with full batch, and training/eval run end-to-end for both
+Adam and SGHMC protocols.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ffvd_tpu.config import FFVDConfig
+from ffvd_tpu.data.synthetic import generate_kink
+from ffvd_tpu.inference.trainer import Trainer
+from ffvd_tpu.model.elbo import (elbo_terms, negative_elbo,
+                                 windowed_elbo_terms)
+from ffvd_tpu.model.params import (SSMData, init_hidden_layers,
+                                   init_params_random)
+
+
+def _setup(n=40, m=8, x_dim=2, n_hidden=1, seed=0):
+    ds = generate_kink(n=n, seed=seed)
+    data = SSMData(y=jnp.asarray(ds.y_train),
+                   control=jnp.zeros((2 * n, 0)))
+    params = init_params_random(jax.random.key(seed), n=n, x_dim=x_dim,
+                                m=m, control_dim=0, p=1)
+    hidden = init_hidden_layers(jax.random.key(seed + 1), n_hidden, params)
+    deep = dataclasses.replace(params, hidden=hidden)
+    return ds, data, params, deep
+
+
+def test_identity_init_matches_shallow():
+    """u=0 hidden layers + mean propagation: the head sees the same inputs
+    as the shallow model, so every term except the (hidden-prior-augmented)
+    part_prior matches exactly."""
+    _, data, params, deep = _setup()
+    for u_collapse in (True, False):
+        ts = elbo_terms(params, data, u_collapse=u_collapse)
+        td = elbo_terms(deep, data, u_collapse=u_collapse)
+        for k in ts:
+            if k in ("nll", "nll_part_prior"):
+                continue
+            np.testing.assert_allclose(float(td[k]), float(ts[k]),
+                                       rtol=1e-12, err_msg=k)
+
+
+def test_windowed_full_window_matches_full_batch():
+    """Deterministic (key=None) deep objective: window_n == N, start == 0
+    must equal full batch — same invariant the shallow model pins in
+    test_minibatch.py."""
+    _, data, _, deep = _setup()
+    n = deep.n_transitions
+    for u_collapse in (True, False):
+        full = elbo_terms(deep, data, u_collapse=u_collapse)
+        win = windowed_elbo_terms(deep, data, jnp.asarray(0), n,
+                                  u_collapse=u_collapse)
+        for k in full:
+            np.testing.assert_allclose(float(win[k]), float(full[k]),
+                                       rtol=1e-12, err_msg=k)
+
+
+def test_stochastic_objective_varies_with_key_and_stays_finite():
+    _, data, _, deep = _setup(n_hidden=2)
+    a = float(negative_elbo(deep, data, key=jax.random.key(0)))
+    b = float(negative_elbo(deep, data, key=jax.random.key(1)))
+    det = float(negative_elbo(deep, data))
+    assert np.isfinite(a) and np.isfinite(b) and np.isfinite(det)
+    assert a != b  # inter-layer noise is live
+
+    g = jax.grad(lambda p: negative_elbo(p, data, key=jax.random.key(2)))(
+        deep)
+    assert all(np.all(np.isfinite(l)) for l in jax.tree.leaves(g))
+    # the hidden layer's own parameters receive gradient
+    assert float(jnp.linalg.norm(g.hidden[0].u)) > 0
+
+
+def test_deep_c4_api_trains_and_evaluates():
+    """Full API path: FFVDModel grafts hidden layers onto injected shallow
+    params (cfg.n_layers=2), trains collapsed-U Adam, and rolls out."""
+    from ffvd_tpu.api import FFVDModel
+    ds, _, params, _ = _setup()
+    cfg = FFVDConfig(case=4, num_inducing=params.z.shape[0], x_dim=2,
+                     iterations=30, num_posterior_samples=2,
+                     posterior_sample_spacing=2, n_layers=2)
+    model = FFVDModel(cfg, dtype=jnp.float64, dataset=ds, params=params)
+    assert len(model.params.hidden) == 1
+    model.fit(num_iterations=60, chunk_size=30)
+    assert np.all(np.isfinite(np.asarray(model.nll_trace)))
+    # training must actually move the objective
+    assert float(model.nll_trace[-1]) < float(model.nll_trace[0])
+    # hidden layers trained (u moved off its zero init)
+    assert float(jnp.linalg.norm(model.params.hidden[0].u)) > 0
+    res = model.evaluate_quick(num_samples=2, horizon=10)
+    assert np.isfinite(res["rmse"]) and np.isfinite(res["nll"])
+
+
+def test_deep_sghmc_case_smoke():
+    """Sampler protocol (C3: kernel, U, Z all SGHMC) with a hidden layer:
+    the hidden layer's blocks ride the same partition (trainer.label_tree),
+    so its u/z/kernel are sampled too."""
+    _, data, _, deep = _setup(n=24, m=6)
+    cfg = FFVDConfig(case=3, num_inducing=6, x_dim=2, iterations=2,
+                     n_layers=2)
+    tr = Trainer(cfg, data)
+    assert tr.stochastic
+    labels = jax.tree.leaves(tr.labels.hidden[0])
+    assert all(l == "sghmc" for l in labels)
+    state = tr.init_state(deep)
+    state, nlls = tr.run(state, 3, jax.random.key(0), chunk_size=3)
+    assert np.all(np.isfinite(np.asarray(nlls)))
+
+
+def test_deep_c6_rejected():
+    with pytest.raises(ValueError, match="particle Gibbs"):
+        FFVDConfig(case=6, n_layers=2)
+
+
+def test_deep_learns_kink_better_than_start():
+    """2-layer model on the kink dataset: a real (short) training run ends
+    with a much better objective than it starts, and the deep rollout
+    produces finite trajectories of the right shape."""
+    from ffvd_tpu.eval.rollout import collect_posterior
+    _, data, _, deep = _setup(n=40, m=8)
+    cfg = FFVDConfig(case=1, num_inducing=8, x_dim=2, iterations=50,
+                     n_layers=2)
+    tr = Trainer(cfg, data)
+    state = tr.init_state(deep)
+    state, nlls = tr.run(state, 100, jax.random.key(0), chunk_size=50)
+    assert float(nlls[-1]) < float(nlls[0]) - 0.1
+    xs, vs, state = collect_posterior(tr, state, test_len=10,
+                                      key=jax.random.key(1), num=2,
+                                      spacing=2)
+    assert xs.shape == (2, 10, 2) and vs.shape == (2, 10, 2)
+    assert np.all(np.isfinite(np.asarray(xs)))
+    assert np.all(np.isfinite(np.asarray(vs)))

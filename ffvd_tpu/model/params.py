@@ -241,8 +241,7 @@ def init_hidden_layers(key: jax.Array, n_hidden: int,
     initialization at all (its warm-start files are single-layer).
     """
     layers = []
-    m, din = head.z.shape
-    for i in range(n_hidden):
+    for _ in range(n_hidden):
         key, kz = jax.random.split(key)
         z = head.z + 0.01 * jax.random.normal(kz, head.z.shape, head.z.dtype)
         layers.append(HiddenLayerParams(

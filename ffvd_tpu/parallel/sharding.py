@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ffvd_tpu.config import FFVDConfig
 from ffvd_tpu.inference.sghmc import SGHMCState
 from ffvd_tpu.inference.trainer import Trainer, TrainState
-from ffvd_tpu.model.params import GPSSMParams, SSMData
+from ffvd_tpu.model.params import GPSSMParams, HiddenLayerParams, SSMData
 from ffvd_tpu.ops.kernels import KernelParams
 
 
@@ -61,20 +61,26 @@ def make_mesh(n_devices: Optional[int] = None, ep: Optional[int] = None,
     return Mesh(np.asarray(devices).reshape(dp, ep), ("dp", "ep"))
 
 
-def params_pspec(chain_axis: bool = True) -> GPSSMParams:
+def params_pspec(chain_axis: bool = True, n_hidden: int = 0) -> GPSSMParams:
     """PartitionSpec tree for (chain-stacked) GPSSMParams: chains over 'dp',
-    the latent-dim axis over 'ep'."""
+    the latent-dim axis over 'ep'.  ``n_hidden``: deep-transition layers
+    (model/deep.py) — their u/kernel shard like the head's."""
     pre = ("dp",) if chain_axis else ()
+    kspec = KernelParams(log_variance=P(*pre, "ep"),
+                         log_lengthscales=P(*pre, "ep"))
+    hidden = tuple(
+        HiddenLayerParams(u=P(*pre, None, "ep"), z=P(*pre), kernel=kspec)
+        for _ in range(n_hidden))
     return GPSSMParams(
         x=P(*pre, None, "ep"),
         u=P(*pre, None, "ep"),
         z=P(*pre),
-        kernel=KernelParams(log_variance=P(*pre, "ep"),
-                            log_lengthscales=P(*pre, "ep")),
+        kernel=kspec,
         log_q=P(*pre, "ep"),
         c=P(*pre, "ep"),
         d=P(*pre),
         log_rchol=P(*pre),
+        hidden=hidden,
     )
 
 
@@ -84,7 +90,7 @@ def _is_spec(x) -> bool:
 
 def state_pspec(state: TrainState) -> TrainState:
     """PartitionSpec tree for a chain-stacked TrainState."""
-    pspec = params_pspec()
+    pspec = params_pspec(n_hidden=len(state.params.hidden))
     sghmc = SGHMCState(xi=pspec, g=pspec, g2=pspec, p=pspec)
     window = jax.tree.map(lambda _: P("dp"), state.window)
     adam = jax.tree.map(lambda a: P("dp") if jnp.ndim(a) >= 1 else P(),

@@ -116,6 +116,22 @@ def test_deep_sghmc_case_smoke():
     assert np.all(np.isfinite(np.asarray(nlls)))
 
 
+def test_deep_multichain_compose():
+    """Deep transitions compose with the ('dp','ep') multi-chain path:
+    hidden-layer leaves stack, shard, and train like the head's."""
+    from ffvd_tpu.parallel import MultiChainTrainer, make_mesh
+    _, data, _, deep = _setup(n=16, m=6)
+    cfg = FFVDConfig(case=4, num_inducing=6, x_dim=2, iterations=2,
+                     window_size=4, n_layers=2)
+    mesh = make_mesh(4, x_dim=cfg.x_dim)
+    mct = MultiChainTrainer(cfg, data, n_chains=mesh.shape["dp"], mesh=mesh)
+    state = mct.init_state(mct.stack_params(deep,
+                                            jitter_key=jax.random.key(1)))
+    state, nlls = mct.run(state, 2, jax.random.key(0), chunk_size=2)
+    assert nlls.shape == (2, mesh.shape["dp"])
+    assert np.all(np.isfinite(np.asarray(nlls)))
+
+
 def test_deep_c6_rejected():
     with pytest.raises(ValueError, match="particle Gibbs"):
         FFVDConfig(case=6, n_layers=2)

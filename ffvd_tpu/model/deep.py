@@ -71,28 +71,35 @@ def hidden_priors(kernel_type: str, prior_type: str,
 def propagate_hidden(kernel_type: str, jitter: float,
                      hidden: Sequence[HiddenLayerParams],
                      h: jnp.ndarray, control: jnp.ndarray,
-                     key: Optional[jax.Array] = None) -> jnp.ndarray:
+                     key: Optional[jax.Array] = None,
+                     precals: Optional[Sequence] = None) -> jnp.ndarray:
     """Propagate states h (N, D) through the hidden layers.
 
     control: (N, U) rows aligned with h (U may be 0).  With ``key`` the
     inter-layer marginals are sampled (doubly-stochastic); with ``key=None``
-    only means propagate.  Returns the head layer's state input (N, D) —
-    concatenate the control again for the head GP.
+    only means propagate.  ``precals``: optional cached Kmm factorizations
+    (hidden_precals), for scans that propagate many times with fixed layers.
+    Returns the head layer's state input (N, D) — concatenate the control
+    again for the head GP.
     """
     for i, layer in enumerate(hidden):
         if control.shape[1] > 0:
             inp = jnp.concatenate([h, control], axis=1)
         else:
             inp = h
-        pre = kernel_precal(kernel_type, layer.kernel, layer.z, jitter)
+        pre = (precals[i] if precals is not None else
+               kernel_precal(kernel_type, layer.kernel, layer.z, jitter))
         mu, var = whitened_conditional(kernel_type, layer.kernel, pre,
                                        layer.z, layer.u, inp)
         h = h + mu
         if key is not None:
             eps = jax.random.normal(jax.random.fold_in(key, i),
                                     mu.shape, mu.dtype)
-            # clamp: fp32 cancellation in Kdiag − ΣA² can go ≈ −1e-7σ²
-            h = h + eps * jnp.sqrt(jnp.maximum(var, 0.0))
+            # Floor, not clamp-to-0: fp32 cancellation in Kdiag − ΣA² can go
+            # ≈ −1e-7σ², and sqrt'(0)·dmax = inf·0 = NaN would poison the
+            # whole gradient (then be silently zeroed by sanitize_grads).
+            # Same guard as sghmc.py's noise scale.
+            h = h + eps * jnp.sqrt(jnp.maximum(var, 1e-16))
     return h
 
 
@@ -103,20 +110,8 @@ def propagate_step(kernel_type: str, jitter: float,
     """Single-state variant for rollout scans: x_t (D,), ctrl (U,) →
     head-layer state input (D,).  ``precals`` are the layers' cached Kmm
     factorizations (computed once outside the scan)."""
-    h = x_t[None, :]
-    ctrl_row = ctrl[None, :]
-    for i, (layer, pre) in enumerate(zip(hidden, precals)):
-        if ctrl.shape[0] > 0:
-            inp = jnp.concatenate([h, ctrl_row], axis=1)
-        else:
-            inp = h
-        mu, var = whitened_conditional(kernel_type, layer.kernel, pre,
-                                       layer.z, layer.u, inp)
-        h = h + mu
-        if key is not None:
-            eps = jax.random.normal(jax.random.fold_in(key, i),
-                                    mu.shape, mu.dtype)
-            h = h + eps * jnp.sqrt(jnp.maximum(var, 0.0))
+    h = propagate_hidden(kernel_type, jitter, hidden, x_t[None, :],
+                         ctrl[None, :], key, precals=precals)
     return h[0]
 
 

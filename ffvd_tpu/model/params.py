@@ -179,6 +179,14 @@ def adapt_warmstart_xdim(params: GPSSMParams, x_dim: int,
     d0 = params.x.shape[1]
     if x_dim == d0:
         return params
+    if params.hidden:
+        # Both branches rebuild GPSSMParams field-by-field; silently
+        # returning hidden=() would drop trained deep layers (api.py would
+        # then re-graft fresh ones).  Adapt BEFORE attaching hidden layers
+        # (api.py orders it that way).
+        raise ValueError("adapt the latent dimension before attaching deep "
+                         "hidden layers (their u/z/kernel shapes are tied "
+                         "to x_dim)")
     rng = np.random.RandomState(seed)
     dt = params.x.dtype
     if x_dim < d0:

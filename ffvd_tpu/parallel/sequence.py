@@ -23,7 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ffvd_tpu.inference.trainer import Trainer, TrainState
-from ffvd_tpu.model.params import GPSSMParams, SSMData
+from ffvd_tpu.model.params import GPSSMParams, HiddenLayerParams, SSMData
 from ffvd_tpu.ops.kernels import KernelParams
 
 
@@ -33,12 +33,16 @@ def make_seq_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices[:n]), ("sp",))
 
 
-def _params_seq_spec() -> GPSSMParams:
-    """Only the latent trajectory has a time axis."""
+def _params_seq_spec(n_hidden: int = 0) -> GPSSMParams:
+    """Only the latent trajectory has a time axis; hidden deep-transition
+    layers (model/deep.py) have none and replicate."""
+    kspec = KernelParams(log_variance=P(), log_lengthscales=P())
+    hidden = tuple(HiddenLayerParams(u=P(), z=P(), kernel=kspec)
+                   for _ in range(n_hidden))
     return GPSSMParams(
         x=P("sp", None), u=P(), z=P(),
-        kernel=KernelParams(log_variance=P(), log_lengthscales=P()),
-        log_q=P(), c=P(), d=P(), log_rchol=P())
+        kernel=kspec,
+        log_q=P(), c=P(), d=P(), log_rchol=P(), hidden=hidden)
 
 
 def data_seq_spec(data: SSMData) -> SSMData:
@@ -52,7 +56,7 @@ def shard_sequence(state: TrainState, data: SSMData, mesh: Mesh):
     The SGHMC auxiliaries and window snapshots of x inherit x's sharding;
     everything else is replicated.
     """
-    pspec = _params_seq_spec()
+    pspec = _params_seq_spec(n_hidden=len(state.params.hidden))
     from ffvd_tpu.inference.sghmc import SGHMCState
     sghmc = SGHMCState(xi=pspec, g=pspec, g2=pspec, p=pspec)
     # window holds only SGHMC leaves (zero-size placeholders elsewhere);

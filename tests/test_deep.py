@@ -132,9 +132,34 @@ def test_deep_multichain_compose():
     assert np.all(np.isfinite(np.asarray(nlls)))
 
 
+def test_deep_sequence_sharding_compose():
+    """Deep transitions compose with time-axis ('sp') sharding: hidden
+    leaves replicate while x shards (the spec tree must carry the hidden
+    structure — regression test for the missed _params_seq_spec)."""
+    from ffvd_tpu.parallel.sequence import (SequenceShardedTrainer,
+                                            make_seq_mesh)
+    _, data, _, deep = _setup(n=15, m=6)
+    cfg = FFVDConfig(case=4, num_inducing=6, x_dim=2, iterations=2,
+                     n_layers=2)
+    tr = Trainer(cfg, data)
+    seq = SequenceShardedTrainer(tr, make_seq_mesh(4))
+    state, nlls = seq.run(tr.init_state(deep), data, 2, jax.random.key(0))
+    assert np.all(np.isfinite(np.asarray(nlls)))
+    assert len(state.params.x.sharding.device_set) > 1
+
+
 def test_deep_c6_rejected():
     with pytest.raises(ValueError, match="particle Gibbs"):
         FFVDConfig(case=6, n_layers=2)
+
+
+def test_adapt_xdim_refuses_deep_params():
+    """adapt_warmstart_xdim rebuilds GPSSMParams field-by-field; it must
+    refuse deep params instead of silently dropping trained hidden layers."""
+    from ffvd_tpu.model.params import adapt_warmstart_xdim
+    _, _, _, deep = _setup()
+    with pytest.raises(ValueError, match="hidden"):
+        adapt_warmstart_xdim(deep, x_dim=3, control_dim=0)
 
 
 def test_deep_learns_kink_better_than_start():

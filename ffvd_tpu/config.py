@@ -133,6 +133,15 @@ class FFVDConfig:
     # layers[-1]); here n_layers > 1 trains a real doubly-stochastic deep
     # sparse-GP transition (model/deep.py) with n_layers−1 hidden layers.
     n_layers: int = 1
+    # Sampler cases (C2/C3/C5) x deep: False (default) trains the hidden
+    # layers' u/z/kernel by Adam (MAP point estimates) and applies the
+    # case's SGHMC partition only to the HEAD layer.  A sampled hidden
+    # log-variance directly scales the injected inter-layer noise, so the
+    # chain can escape at fp32 (observed: flutter C5 deep-2 diverged to
+    # ELBO -6e4 with sampled hidden hypers).  True restores the per-layer
+    # partition (the reference applies its flags per layer,
+    # dgp_model.py:213-243 — for its dead deep path).
+    deep_sample_hidden: bool = False
     file_id: int = 3                # warm-start file selector (FFVD_Main.py:363)
     seed: int = 0
 
@@ -149,11 +158,6 @@ class FFVDConfig:
             raise ValueError("minibatch_size must be >= 1 or None")
         if self.n_layers < 1:
             raise ValueError("n_layers must be >= 1")
-        if self.n_layers > 1 and self.case_config.x_pg:
-            raise ValueError(
-                "deep transitions (n_layers > 1) with particle Gibbs (C6) "
-                "are not supported: PG transition weights would need the "
-                "hidden layers marginalized per particle")
 
     @property
     def case_config(self) -> CaseConfig:

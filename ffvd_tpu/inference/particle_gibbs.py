@@ -43,19 +43,38 @@ def make_pg_fn(cfg: FFVDConfig, data: SSMData = None) -> Callable:
     ancestor_trace = cfg.pg_ancestor_trace
     emission_noise = cfg.emission_noise
 
-    def _propagate(params, pre, x_t, ctrl, k_prop):
-        """GP transition for a (P-1, D) particle block."""
+    def _propagate(params, pre, hpre, x_t, ctrl, k_prop):
+        """GP transition for a (P-1, D) particle block.
+
+        Deep transitions (params.hidden non-empty, model/deep.py): the
+        particle block batches through the hidden layers exactly like time
+        rows, with fresh inter-layer samples per particle — the transition
+        density the weights see is the doubly-stochastic one the training
+        objective uses.  The identity skip stays on x_t (head-skip design,
+        model/deep.py)."""
+        ctrl_b = jnp.broadcast_to(ctrl, (x_t.shape[0], ctrl.shape[0]))
+        h = x_t
+        if params.hidden:
+            from ffvd_tpu.model.deep import propagate_hidden
+            k_prop, k_h = jax.random.split(k_prop)
+            h = propagate_hidden(kt, jitter, params.hidden, x_t, ctrl_b,
+                                 k_h, precals=hpre)
         if ctrl.shape[0] > 0:
-            ctrl_b = jnp.broadcast_to(ctrl, (x_t.shape[0], ctrl.shape[0]))
-            xc = jnp.concatenate([x_t, ctrl_b], axis=1)
+            xc = jnp.concatenate([h, ctrl_b], axis=1)
         else:
-            xc = x_t
+            xc = h
         mu, var = whitened_conditional(kt, params.kernel, pre, params.z,
                                        params.u, xc)
         mu = mu + x_t                                        # identity mean
         noise = jax.random.normal(k_prop, mu.shape, mu.dtype)
         # clamp: fp32 cancellation can leave var slightly negative
         return mu + noise * jnp.sqrt(jnp.maximum(var + params.q, 0.0))
+
+    def _hidden_pre(params):
+        if not params.hidden:
+            return None
+        from ffvd_tpu.model.deep import hidden_precals
+        return hidden_precals(kt, jitter, params.hidden)
 
     def _weights(params, x_next, x_ref_next, y_t):
         w_free = emission_log_lik_rows(
@@ -74,13 +93,14 @@ def make_pg_fn(cfg: FFVDConfig, data: SSMData = None) -> Callable:
         d = params.x_dim
         k_init, k_scan, k_choice = jax.random.split(key, 3)
         pre = kernel_precal(kt, params.kernel, params.z, jitter)
+        hpre = _hidden_pre(params)
         particles0 = jax.random.normal(k_init, (pp - 1, d), params.x.dtype)
         controls = data.control[:n]
 
         def step(x_t, inp):
             k, ctrl, y_t, x_ref_next = inp
             k_prop, k_res = jax.random.split(k)
-            x_next = _propagate(params, pre, x_t, ctrl, k_prop)
+            x_next = _propagate(params, pre, hpre, x_t, ctrl, k_prop)
             logits = _weights(params, x_next, x_ref_next, y_t)
             idx = jax.random.categorical(k_res, logits, shape=(pp - 1,))
             pool = jnp.concatenate([x_next, x_ref_next[None, :]], axis=0)
@@ -107,6 +127,7 @@ def make_pg_fn(cfg: FFVDConfig, data: SSMData = None) -> Callable:
         d = params.x_dim
         k_init, k_scan, k_choice = jax.random.split(key, 3)
         pre = kernel_precal(kt, params.kernel, params.z, jitter)
+        hpre = _hidden_pre(params)
         particles0 = jnp.concatenate(
             [jax.random.normal(k_init, (pp - 1, d), params.x.dtype),
              params.x[0][None, :]], axis=0)                  # (P, D)
@@ -119,7 +140,7 @@ def make_pg_fn(cfg: FFVDConfig, data: SSMData = None) -> Callable:
             parents = jax.random.categorical(k_anc, logits_t,
                                              shape=(pp - 1,))
             x_par = x_t[parents]                             # (P-1, D)
-            x_next_free = _propagate(params, pre, x_par, ctrl, k_prop)
+            x_next_free = _propagate(params, pre, hpre, x_par, ctrl, k_prop)
             x_next = jnp.concatenate(
                 [x_next_free, x_ref_next[None, :]], axis=0)  # (P, D)
             logits = _weights(params, x_next_free, x_ref_next, y_t)

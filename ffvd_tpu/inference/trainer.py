@@ -45,19 +45,26 @@ Pytree = Any
 def label_tree(cfg: FFVDConfig) -> GPSSMParams:
     """A GPSSMParams-shaped pytree of 'adam'/'sghmc'/'frozen' string labels.
 
-    Hidden deep-transition layers (cfg.n_layers > 1, model/deep.py) follow
-    the case's u/z/kernel partition like the head layer — the reference
-    applies its trainability flags per layer too (dgp_model.py:213-243) —
-    except that a collapsed head (C4/C5) leaves hidden U as a trainable
-    point estimate (ADAM): only the head's U has an analytic collapse."""
+    Hidden deep-transition layers (cfg.n_layers > 1, model/deep.py) are
+    Adam-trained point estimates by default (MAP) — a sampled hidden
+    log-variance scales the injected inter-layer noise and destabilizes
+    fp32 chains (see FFVDConfig.deep_sample_hidden).  With
+    ``deep_sample_hidden=True`` they follow the case's u/z/kernel partition
+    like the head (the reference applies its flags per layer,
+    dgp_model.py:213-243), except that a collapsed head (C4/C5) still
+    leaves hidden U as ADAM: only the head's U has an analytic collapse."""
     part = partition_for(cfg)
-    hidden_u = ADAM if cfg.case_config.u_collapse else part.u
-    hidden = tuple(
-        HiddenLayerParams(
+    if cfg.deep_sample_hidden:
+        hidden_u = ADAM if cfg.case_config.u_collapse else part.u
+        hidden_layer = HiddenLayerParams(
             u=hidden_u, z=part.z,
             kernel=KernelParams(log_variance=part.kernel,
                                 log_lengthscales=part.kernel))
-        for _ in range(cfg.n_layers - 1))
+    else:
+        hidden_layer = HiddenLayerParams(
+            u=ADAM, z=ADAM,
+            kernel=KernelParams(log_variance=ADAM, log_lengthscales=ADAM))
+    hidden = tuple(hidden_layer for _ in range(cfg.n_layers - 1))
     return GPSSMParams(
         x=part.x, u=part.u, z=part.z,
         kernel=KernelParams(log_variance=part.kernel,

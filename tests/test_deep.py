@@ -101,19 +101,30 @@ def test_deep_c4_api_trains_and_evaluates():
 
 
 def test_deep_sghmc_case_smoke():
-    """Sampler protocol (C3: kernel, U, Z all SGHMC) with a hidden layer:
-    the hidden layer's blocks ride the same partition (trainer.label_tree),
-    so its u/z/kernel are sampled too."""
+    """Sampler protocol (C3: kernel, U, Z all SGHMC) with a hidden layer.
+    Default: hidden blocks are MAP (Adam) — a sampled hidden log-variance
+    scales the inter-layer noise and destabilizes fp32 chains (observed
+    e2e, FFVDConfig.deep_sample_hidden).  Opt-in restores per-layer
+    sampling."""
     _, data, _, deep = _setup(n=24, m=6)
     cfg = FFVDConfig(case=3, num_inducing=6, x_dim=2, iterations=2,
                      n_layers=2)
     tr = Trainer(cfg, data)
     assert tr.stochastic
     labels = jax.tree.leaves(tr.labels.hidden[0])
-    assert all(l == "sghmc" for l in labels)
+    assert all(l == "adam" for l in labels)
     state = tr.init_state(deep)
     state, nlls = tr.run(state, 3, jax.random.key(0), chunk_size=3)
     assert np.all(np.isfinite(np.asarray(nlls)))
+
+    cfg2 = FFVDConfig(case=3, num_inducing=6, x_dim=2, iterations=2,
+                      n_layers=2, deep_sample_hidden=True)
+    tr2 = Trainer(cfg2, data)
+    labels2 = jax.tree.leaves(tr2.labels.hidden[0])
+    assert all(l == "sghmc" for l in labels2)
+    state2, nlls2 = tr2.run(tr2.init_state(deep), 3, jax.random.key(0),
+                            chunk_size=3)
+    assert np.all(np.isfinite(np.asarray(nlls2)))
 
 
 def test_deep_multichain_compose():
@@ -148,9 +159,22 @@ def test_deep_sequence_sharding_compose():
     assert len(state.params.x.sharding.device_set) > 1
 
 
-def test_deep_c6_rejected():
-    with pytest.raises(ValueError, match="particle Gibbs"):
-        FFVDConfig(case=6, n_layers=2)
+@pytest.mark.parametrize("ancestor", [False, True])
+def test_deep_particle_gibbs_smoke(ancestor):
+    """Deep + C6: the particle block batches through the hidden layers
+    (particle_gibbs._propagate), so the full PG protocol runs with a deep
+    transition — both the reference-style and ancestor-traced CSMC."""
+    from ffvd_tpu.inference.particle_gibbs import make_pg_fn
+    _, data, _, deep = _setup(n=20, m=6)
+    cfg = FFVDConfig(case=6, num_inducing=6, x_dim=2, iterations=2,
+                     pg_particles=8, n_layers=2, pg_ancestor_trace=ancestor)
+    tr = Trainer(cfg, data, pg_fn=make_pg_fn(cfg))
+    state = tr.init_state(deep)
+    x0 = state.params.x
+    state, nlls = tr.run(state, 3, jax.random.key(0), chunk_size=3)
+    assert np.all(np.isfinite(np.asarray(nlls)))
+    # PG actually resampled the trajectory
+    assert not np.allclose(np.asarray(state.params.x), np.asarray(x0))
 
 
 def test_adapt_xdim_refuses_deep_params():

@@ -74,6 +74,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "dependency of the tf.ones(1) fetch) — leave X at "
                         "its warm start like the reference's C6 actually "
                         "does")
+    p.add_argument("--sghmc_log_clip", type=float, default=None,
+                   help="clip sampled log-parameters to +-this (default: "
+                        "config's 30.0; tighter bounds the fp32 sampler's "
+                        "escape region — see FFVDConfig.sghmc_log_clip)")
+    p.add_argument("--deep_sample_hidden", action="store_true",
+                   help="apply the case's SGHMC partition to hidden deep "
+                        "layers too (default: hidden layers are MAP — see "
+                        "FFVDConfig.deep_sample_hidden)")
     p.add_argument("--tensorboard_dir", type=str, default=None,
                    help="write the reference's (gated-off) TensorBoard "
                         "summary set per training chunk (models.py:94-131)")
@@ -120,7 +128,10 @@ def main(argv=None):
         minibatch_size=args.minibatch_size, n_layers=args.n_layers,
         rollout_qsqrt_dim0=args.rollout_qsqrt_dim0,
         pg_compat_noop=args.pg_compat_noop,
-        pg_ancestor_trace=args.pg_ancestor_trace)
+        pg_ancestor_trace=args.pg_ancestor_trace,
+        deep_sample_hidden=args.deep_sample_hidden,
+        **({"sghmc_log_clip": args.sghmc_log_clip}
+           if args.sghmc_log_clip is not None else {}))
 
     print(f"#### {dataset} | case C{cfg.case} | {platform} {precision} ####")
 

@@ -65,6 +65,12 @@ def main():
         rec["rollout_qsqrt_dim0"] = True
     elif mode:
         rec["mode"] = mode
+    if mode and mode.startswith("deep"):
+        # Config-affecting context, so same-key re-runs under changed
+        # defaults stay distinguishable (this runner never passes
+        # --deep_sample_hidden, so entries record the config default).
+        from ffvd_tpu.config import FFVDConfig
+        rec["deep_sample_hidden"] = FFVDConfig().deep_sample_hidden
     all_rec = json.loads(OUT.read_text()) if OUT.exists() else {}
     all_rec[key] = rec
     OUT.write_text(json.dumps(all_rec, indent=2))

@@ -136,10 +136,11 @@ class FFVDConfig:
     # Sampler cases (C2/C3/C5) x deep: False (default) trains the hidden
     # layers' u/z/kernel by Adam (MAP point estimates) and applies the
     # case's SGHMC partition only to the HEAD layer.  A sampled hidden
-    # log-variance directly scales the injected inter-layer noise, so the
-    # chain can escape at fp32 (observed: flutter C5 deep-2 diverged to
-    # ELBO -6e4 with sampled hidden hypers).  True restores the per-layer
-    # partition (the reference applies its flags per layer,
+    # log-variance directly scales the injected inter-layer noise —
+    # defense-in-depth against the fp32 sampler's escape region (note:
+    # flutter C5 escapes even SHALLOW at fp32, so MAP hidden narrows, not
+    # closes, that region — PARITY.md §2b-deep).  True restores the
+    # per-layer partition (the reference applies its flags per layer,
     # dgp_model.py:213-243 — for its dead deep path).
     deep_sample_hidden: bool = False
     file_id: int = 3                # warm-start file selector (FFVD_Main.py:363)

@@ -70,13 +70,47 @@ def ndiag_mc(funcs: Union[Callable, Sequence[Callable]], s: int, fmu, fvar,
 def ndiagquad(funcs: Union[Callable, Sequence[Callable]], h: int,
               fmu, fvar, logspace: bool = False, **ys):
     """Expectation of f(F) under diagonal Gaussians N(fmu, fvar) via H-point
-    Gauss-Hermite (quadrature.py:92-195 semantics, single-latent case).
+    Gauss-Hermite (quadrature.py:92-195 semantics).
 
-    fmu, fvar: arrays of matching shape (N, 1) or (N,).  ``ys`` are extra
-    broadcastable arguments passed to each func.
+    Two input forms, matching the reference:
+
+    - arrays ``fmu``/``fvar`` of matching shape (N, 1) or (N,): single latent;
+      each func receives one positional argument with a trailing quadrature
+      axis of length H.
+    - Din-tuples/lists of such arrays (quadrature.py:159-173): the expectation
+      runs over Din *independent* latents on the full H**Din tensor-product
+      grid; each func receives Din positional arguments of shape (N, H**Din)
+      (elementwise, like the reference's ``f(*Xs, **Ys)``) and the result has
+      the shape of ``fmu[0]``.
+
+    ``ys`` are extra broadcastable arguments passed to each func by keyword.
     """
     single = callable(funcs)
     fns = [funcs] if single else list(funcs)
+    if isinstance(fmu, (tuple, list)):
+        if not isinstance(fvar, (tuple, list)) or len(fvar) != len(fmu):
+            raise ValueError("Fmu and Fvar must be tuples of the same length")
+        din = len(fmu)
+        first = jnp.asarray(fmu[0])
+        shape, dtype = first.shape, first.dtype
+        mus = [jnp.reshape(jnp.asarray(f, dtype), (-1,)) for f in fmu]
+        vrs = [jnp.reshape(jnp.asarray(f, dtype), (-1,)) for f in fvar]
+        xn, wn = mvhermgauss(h, din)                    # (H**Din, Din), (H**Din,)
+        gh_w = jnp.asarray(wn * np.pi ** (-0.5 * din), dtype)
+        # Xs[i][n, k] = mu_i[n] + sqrt(2 var_i[n]) x_k[i]  (quadrature.py:172-173)
+        xs = [m[:, None] + jnp.sqrt(2.0 * jnp.clip(v, 0.0))[:, None]
+              * jnp.asarray(xn[:, i], dtype)
+              for i, (m, v) in enumerate(zip(mus, vrs))]
+        ys_b = {k: jnp.reshape(jnp.asarray(v), (-1, 1)) for k, v in ys.items()}
+        results = []
+        for fn in fns:
+            fx = fn(*xs, **ys_b)                        # (N, H**Din)
+            if logspace:
+                res = jax.scipy.special.logsumexp(fx + jnp.log(gh_w), axis=-1)
+            else:
+                res = fx @ gh_w
+            results.append(jnp.reshape(res, shape))
+        return results[0] if single else results
     fmu = jnp.asarray(fmu)
     fvar = jnp.asarray(fvar)
     gh_x, gh_w = hermgauss(h, np.float64)

@@ -285,3 +285,48 @@ def test_chol_and_inv_m512_grads():
                                atol=1e-12)
     g = jax.grad(lambda x: jnp.sum(chol_and_inv(x)[1]))(spd)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_ndiagquad_tuple_matches_single_latent():
+    """Din=1 tuple input must agree with the array input form
+    (quadrature.py:159-166: both reduce to the same 1-D grid)."""
+    mu = jnp.asarray(rng.randn(6, 1))
+    var = jnp.asarray(rng.rand(6, 1) + 0.2)
+    y = jnp.asarray(rng.randn(6, 1))
+    arr = ndiagquad(lambda f, Y: jnp.sin(f) + Y, 25, mu, var, Y=y)
+    tup = ndiagquad(lambda f, Y: jnp.sin(f) + Y, 25, (mu,), (var,), Y=y)
+    assert tup.shape == mu.shape
+    np.testing.assert_allclose(np.asarray(tup), np.asarray(arr), rtol=1e-12)
+
+
+def test_ndiagquad_tuple_two_latents_separable():
+    """E[f(F)g(G)] over independent latents = E[f(F)]·E[g(G)]
+    (the reference's heteroskedastic-likelihood form, quadrature.py:135-148)."""
+    n = 5
+    fmu = jnp.asarray(rng.randn(n, 1))
+    fvar = jnp.asarray(rng.rand(n, 1) + 0.1)
+    gmu = jnp.asarray(rng.randn(n, 1))
+    gvar = jnp.asarray(rng.rand(n, 1) + 0.1)
+    joint = ndiagquad(lambda f, g: f * f * jnp.exp(g), 20,
+                      (fmu, gmu), (fvar, gvar))
+    ef2 = ndiagquad(lambda f: f * f, 20, fmu, fvar)
+    eeg = ndiagquad(jnp.exp, 20, gmu, gvar)
+    np.testing.assert_allclose(np.asarray(joint), np.asarray(ef2 * eeg),
+                               rtol=1e-8)
+    # logspace: log E[exp(F+G)] = (fmu+fvar/2) + (gmu+gvar/2) in closed form
+    lse = ndiagquad(lambda f, g: f + g, 30, (fmu, gmu), (fvar, gvar),
+                    logspace=True)
+    np.testing.assert_allclose(
+        np.asarray(lse),
+        np.asarray(fmu + fvar / 2 + gmu + gvar / 2), rtol=1e-8)
+
+
+def test_ndiagquad_tuple_list_of_funcs_and_shapes():
+    mu = jnp.asarray(rng.randn(4))          # (N,) flat form
+    var = jnp.asarray(rng.rand(4) + 0.3)
+    outs = ndiagquad([lambda f, g: f, lambda f, g: g], 15,
+                     [mu, mu * 2], [var, var * 4])
+    assert outs[0].shape == mu.shape
+    np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(mu), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(mu * 2),
+                               rtol=1e-9)

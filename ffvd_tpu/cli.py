@@ -74,10 +74,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "dependency of the tf.ones(1) fetch) — leave X at "
                         "its warm start like the reference's C6 actually "
                         "does")
-    p.add_argument("--sghmc_log_clip", type=float, default=None,
+    p.add_argument("--sghmc_log_clip", type=str, default=None,
                    help="clip sampled log-parameters to +-this (default: "
                         "config's 30.0; tighter bounds the fp32 sampler's "
-                        "escape region — see FFVDConfig.sghmc_log_clip)")
+                        "escape region — see FFVDConfig.sghmc_log_clip); "
+                        "'none' or 0 disables clipping entirely")
     p.add_argument("--deep_sample_hidden", action="store_true",
                    help="apply the case's SGHMC partition to hidden deep "
                         "layers too (default: hidden layers are MAP — see "
@@ -92,6 +93,17 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--results_dir", type=str, default="results")
     p.add_argument("--chunk_size", type=int, default=500)
     return p
+
+
+def _log_clip_kwargs(value):
+    """Parse --sghmc_log_clip: unset → config default (30.0); 'none'/'off'/0
+    → clipping disabled (sghmc_log_clip=None); otherwise a float bound."""
+    if value is None:
+        return {}
+    if value.strip().lower() in ("none", "off"):
+        return {"sghmc_log_clip": None}
+    clip = float(value)
+    return {"sghmc_log_clip": None if clip == 0.0 else clip}
 
 
 def main(argv=None):
@@ -130,8 +142,7 @@ def main(argv=None):
         pg_compat_noop=args.pg_compat_noop,
         pg_ancestor_trace=args.pg_ancestor_trace,
         deep_sample_hidden=args.deep_sample_hidden,
-        **({"sghmc_log_clip": args.sghmc_log_clip}
-           if args.sghmc_log_clip is not None else {}))
+        **_log_clip_kwargs(args.sghmc_log_clip))
 
     print(f"#### {dataset} | case C{cfg.case} | {platform} {precision} ####")
 

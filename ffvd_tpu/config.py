@@ -159,6 +159,12 @@ class FFVDConfig:
             raise ValueError("minibatch_size must be >= 1 or None")
         if self.n_layers < 1:
             raise ValueError("n_layers must be >= 1")
+        if self.pg_compat_noop and self.pg_ancestor_trace:
+            raise ValueError(
+                "pg_compat_noop and pg_ancestor_trace are mutually exclusive: "
+                "compat-noop makes the PG update an identity (the reference's "
+                "dead assign), so an ancestor-traced CSMC would silently "
+                "never run")
 
     @property
     def case_config(self) -> CaseConfig:

@@ -141,9 +141,19 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
             # Thinning moves only the SGHMC-labeled leaves, so the scans carry
             # (and differentiate) just that subset — see SubsetOps.
             ops = SubsetOps(trainer.labels, params)
-            sub_grad = jax.grad(
-                lambda sub: trainer.nll_fn(ops.merge(sub, params),
-                                           trainer.data))
+            # Deep (stochastic) models: thinning targets the SAME
+            # doubly-stochastic objective as training — a fresh inter-layer
+            # propagation key per thin step (without it the thinned chain
+            # would sample the deterministic mean-propagated posterior, a
+            # train/eval mismatch).  Shallow models have no propagation key.
+            if trainer.stochastic:
+                sub_grad = jax.grad(
+                    lambda sub, kp: trainer.nll_fn(ops.merge(sub, params),
+                                                   trainer.data, key=kp))
+            else:
+                sub_grad = jax.grad(
+                    lambda sub, kp: trainer.nll_fn(ops.merge(sub, params),
+                                                   trainer.data))
             x_n = params.x.shape[0]
 
             def per_sample(carry, k):
@@ -152,7 +162,12 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
 
                 def thin(c, kk):
                     sb, s = c
-                    grads = sanitize_grads(sub_grad(sb), cfg.sghmc_grad_clip)
+                    if trainer.stochastic:
+                        kk, k_prop = jax.random.split(kk)  # static branch:
+                    else:                                  # shallow PRNG
+                        k_prop = None                      # stream unchanged
+                    grads = sanitize_grads(sub_grad(sb, k_prop),
+                                           cfg.sghmc_grad_clip)
                     sb2, s2 = sghmc_step(sb, grads, s, kk,
                                          epsilon=cfg.epsilon,
                                          mdecay=cfg.mdecay, x_n=x_n,

@@ -13,10 +13,28 @@ from pathlib import Path
 from typing import Any, Optional
 
 import jax
+import numpy as np
+
+CHECKPOINT_FORMAT = 2
+"""Training-state layout / PRNG-protocol version.  Bump whenever a change
+makes resuming an older mid-run checkpoint silently diverge from the
+original trajectory.
+
+v2 (round 2): the SubsetOps refactor splits SGHMC noise keys over the
+*sampled subset* of leaves instead of the full parameter tree
+(inference/trainer.py), so sampler trajectories resumed from v1
+checkpoints would no longer replay bit-exactly.  v1 (unversioned) saves
+are refused at restore with a clear error instead.
+"""
 
 
 class CheckpointManager:
-    """Thin orbax wrapper for TrainState pytrees keyed by outer iteration."""
+    """Thin orbax wrapper for TrainState pytrees keyed by outer iteration.
+
+    Saves carry ``CHECKPOINT_FORMAT`` alongside the state; ``restore``
+    refuses a checkpoint whose format does not match, so the "bit-exact
+    resume" guarantee can never silently turn into a divergent trajectory
+    across protocol changes."""
 
     def __init__(self, directory, max_to_keep: int = 3):
         import orbax.checkpoint as ocp
@@ -27,7 +45,8 @@ class CheckpointManager:
         self._ocp = ocp
 
     def save(self, step: int, state: Any, force: bool = False) -> None:
-        self._mgr.save(step, args=self._ocp.args.StandardSave(state),
+        payload = {"format": np.array(CHECKPOINT_FORMAT, np.int32), "state": state}
+        self._mgr.save(step, args=self._ocp.args.StandardSave(payload),
                        force=force)
         self._mgr.wait_until_finished()
 
@@ -38,8 +57,26 @@ class CheckpointManager:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self._dir}")
-        return self._mgr.restore(
-            step, args=self._ocp.args.StandardRestore(template))
+        payload_t = {"format": np.array(0, np.int32), "state": template}
+        try:
+            payload = self._mgr.restore(
+                step, args=self._ocp.args.StandardRestore(payload_t))
+        except Exception as e:
+            raise ValueError(
+                f"checkpoint {step} under {self._dir} does not match the "
+                f"current layout (format v{CHECKPOINT_FORMAT}); if it was "
+                "written before format versioning (v1, pre-SubsetOps), its "
+                "sampler trajectory cannot be resumed bit-exactly — restart "
+                f"training instead. Underlying error: {e}") from e
+        fmt = int(payload["format"])
+        if fmt != CHECKPOINT_FORMAT:
+            raise ValueError(
+                f"checkpoint {step} has format v{fmt} but this build writes "
+                f"v{CHECKPOINT_FORMAT}: the training-state/PRNG protocol "
+                "changed, so resuming would silently diverge from the "
+                "original trajectory. Restart training, or pin the matching "
+                "ffvd_tpu version.")
+        return payload["state"]
 
     def close(self):
         self._mgr.close()

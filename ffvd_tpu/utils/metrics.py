@@ -77,13 +77,18 @@ class TensorBoardSink:
 
     Same summary set, same tag scheme: histograms of C / D / log-Rchols /
     log-Q / per-dim X and U columns / per-dim kernel log-lengthscales,
-    scalars of per-dim kernel log-variance and the marginal LL.  Uses
-    torch.utils.tensorboard (event-file format is framework-neutral);
-    constructing the sink raises ImportError if tensorboard is unavailable.
+    scalars of per-dim kernel log-variance and the marginal LL.  The
+    event-file format is framework-neutral; prefers the lightweight
+    tensorboardX writer and falls back to torch.utils.tensorboard (which
+    drags in all of PyTorch) only if that is missing.  Constructing the
+    sink raises ImportError if neither is available.
     """
 
     def __init__(self, logdir: str):
-        from torch.utils.tensorboard import SummaryWriter
+        try:
+            from tensorboardX import SummaryWriter
+        except ImportError:
+            from torch.utils.tensorboard import SummaryWriter
         self._w = SummaryWriter(log_dir=str(logdir))
 
     def write(self, params, nll: float, step: int) -> None:

@@ -61,6 +61,13 @@ def _read_raw(name: str, root: Optional[Path] = None):
     fname, kind = DATASET_FILES[name]
     root = root or data_dir()
     path = root / fname
+    if not path.exists():
+        raise FileNotFoundError(
+            f"dataset file {path} not found. The six FFVD datasets are not "
+            "vendored into this repo (deliberate — see README.md 'Data "
+            "provenance'): point $FFVD_DATA_DIR at the data/ directory of an "
+            "upstream FFVD checkout (github.com/xuhuifan/FFVD), or run "
+            "scripts/fetch_data.sh to clone it.")
     if kind == "dat":
         arr = np.loadtxt(path)
         u, y = arr[:, 0:1], arr[:, 1:2]

@@ -47,7 +47,12 @@ def load_warmstart(dataset: str, file_id: int = 3,
     files = list_warmstarts(dataset, root)
     if not files:
         raise FileNotFoundError(
-            f"no warm-start npz for {dataset!r} under {root or warmstart_dir()}")
+            f"no warm-start npz for {dataset!r} under "
+            f"{root or warmstart_dir()}. The Factnonlin_ini/ warm starts are "
+            "not vendored (see README.md 'Data provenance'): point "
+            "$FFVD_WARMSTART_DIR at the Factnonlin_ini/ directory of an "
+            "upstream FFVD checkout (github.com/xuhuifan/FFVD), or run "
+            "scripts/fetch_data.sh to clone it.")
     if not 0 <= file_id < len(files):
         raise IndexError(
             f"file_id {file_id} out of range: {len(files)} warm-start files "

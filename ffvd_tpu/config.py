@@ -77,16 +77,35 @@ class FFVDConfig:
     pg_particles: int = 100
     jitter: float = 1e-5            # Kmm jitter (conditionals_multi_output.py:108)
     # fp32 guards for the sampler (the fp64 reference merely wanders through
-    # these regimes; fp32 overflows).  Both are far outside the useful
+    # these regimes; fp32 overflows).  All are far outside the useful
     # region, so healthy chains never touch them.  None disables.
-    # 1) sampled log-parameters clipped to ±sghmc_log_clip (exp(±30)=1e±13);
-    sghmc_log_clip: Optional[float] = 30.0
+    # 1) sampled log-parameters clipped to ±sghmc_log_clip — a REFLECTING
+    #    BARRIER inside the objective's cliff.  Measured on the escaping
+    #    flutter×C5 fp32 chain (tests/golden/catapult_state_*.npz +
+    #    grad_crosscheck.py): the fp64 objective is a near-flat plateau in
+    #    the sampled log-variance up to ≈ +20, then turns catastrophic at
+    #    ≈ +21-29; fp64 chains bounce off that cliff on exact gradients,
+    #    while fp32 gradients there are conditioning-garbage, so the chain
+    #    diffuses across and pins at the clip with a frozen preconditioner.
+    #    ±12 (e^±12 = 1.6e5/6e-6, far beyond any useful hyperparameter)
+    #    keeps fp32 chains on the recoverable plateau.  Round 2's ±30
+    #    default only guarded exp() overflow — too far outside the cliff.
+    sghmc_log_clip: Optional[float] = 12.0
     # 2) per-element gradient magnitude clipped to sghmc_grad_clip and
     #    non-finite gradients zeroed before the SGHMC update — an inf grad
     #    would make ε²·M⁻¹·∇ = 0·inf = NaN (grad² overflows fp32 first at
     #    |∇| ≈ 2e19).  The RMS preconditioner makes the update scale-free,
     #    so clipping huge gradients barely perturbs the dynamics.
     sghmc_grad_clip: Optional[float] = 1e6
+    # 3) per-sub-step momentum (= parameter move) bound.  A healthy chain
+    #    moves |Δθ| ≲ 0.05 per sub-step at the reference's ε=0.01; the fp32
+    #    escape (PARITY §2b-deep) is a CATAPULT — one sub-step jumping a
+    #    log-hyperparameter by ~25 when an ill-conditioned fp32 Cholesky
+    #    yields a garbage gradient against a stale preconditioner.  ±1.0
+    #    keeps any single move inside the recoverable region (where accurate
+    #    gradients are restoring) while being 20×+ above anything a healthy
+    #    chain does, so reference semantics are untouched.  None disables.
+    sghmc_p_clip: Optional[float] = 1.0
     # PRNG implementation for training keys: 'threefry2x32' (JAX default,
     # splittable/stable) or 'rbg' (hardware-friendly, ~1.5x faster sampler
     # throughput on TPU for SGHMC-heavy cases).
@@ -143,6 +162,12 @@ class FFVDConfig:
     # per-layer partition (the reference applies its flags per layer,
     # dgp_model.py:213-243 — for its dead deep path).
     deep_sample_hidden: bool = False
+    # Hidden-layer initialization: σ²_hidden = scale·σ²_head (see
+    # params.init_hidden_layers).  < 1 shrinks the inter-layer noise injected
+    # at the start of deep training — matters on short/noisy datasets where
+    # the injected noise can push the warm-started head off its basin
+    # (actuator study, PARITY §2b-deep).
+    deep_hidden_init_scale: float = 1.0
     file_id: int = 3                # warm-start file selector (FFVD_Main.py:363)
     seed: int = 0
 

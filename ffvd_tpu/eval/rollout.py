@@ -171,7 +171,8 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
                     sb2, s2 = sghmc_step(sb, grads, s, kk,
                                          epsilon=cfg.epsilon,
                                          mdecay=cfg.mdecay, x_n=x_n,
-                                         burn_in=False)
+                                         burn_in=False,
+                                         p_clip=cfg.sghmc_p_clip)
                     return (ops.clip_log(sb2, cfg.sghmc_log_clip), s2), None
 
                 (sub, sstate), _ = jax.lax.scan(

@@ -53,7 +53,7 @@ def sghmc_init(params: Pytree) -> SGHMCState:
 
 
 def _leaf_update(theta, grad, xi, g, g2, p, noise_u, *, epsilon, mdecay,
-                 x_n, burn_in):
+                 x_n, burn_in, p_clip=None):
     r = 1.0 / (xi + 1.0)
     g_t = (1.0 - r) * g + r * grad
     g2_t = (1.0 - r) * g2 + r * grad * grad
@@ -64,6 +64,14 @@ def _leaf_update(theta, grad, xi, g, g2, p, noise_u, *, epsilon, mdecay,
     noise_scale = 2.0 * eps_scaled ** 2 * mdecay * minv
     sigma = jnp.sqrt(jnp.maximum(noise_scale, 1e-16))
     p_t = p - epsilon ** 2 * minv * grad - mdecay * p + noise_u * sigma
+    if p_clip is not None:
+        # fp32 catapult guard (see FFVDConfig.sghmc_p_clip): a healthy chain
+        # moves |Δθ| ≲ 0.05 per sub-step, so a ±p_clip≈1 bound is inactive in
+        # every normal regime; it only stops the one-sub-step jumps that an
+        # fp32-garbage gradient (ill-conditioned Kmm) plus a stale
+        # preconditioner can produce (the fp64 reference never faces these —
+        # PARITY.md §2b-deep).
+        p_t = jnp.clip(p_t, -p_clip, p_clip)
     theta_t = theta + p_t
     # burn_in may be a python bool or a traced scalar (when scanned over the
     # reference's B,(B,S)×10 flag pattern); select keeps both jit-able.
@@ -85,16 +93,17 @@ def _tree_normals(key: jax.Array, tree: Pytree) -> Pytree:
 
 def sghmc_step(params: Pytree, grads: Pytree, state: SGHMCState,
                key: jax.Array, *, epsilon: float, mdecay: float, x_n: int,
-               burn_in: bool) -> Tuple[Pytree, SGHMCState]:
+               burn_in: bool, p_clip=None) -> Tuple[Pytree, SGHMCState]:
     """One burn-in (adapt+move) or sampling (move-only) update over an entire
     pytree of sampled variables.  ``burn_in`` may be a python bool or a traced
-    scalar (the reference's two assign lists become one selected program)."""
+    scalar (the reference's two assign lists become one selected program).
+    ``p_clip`` bounds the per-sub-step move (see _leaf_update)."""
     noise = _tree_normals(key, params)
 
     flat = jax.tree.map(
         lambda th, gr, xi, g, g2, p, nu: _leaf_update(
             th, gr, xi, g, g2, p, nu, epsilon=epsilon, mdecay=mdecay,
-            x_n=x_n, burn_in=burn_in),
+            x_n=x_n, burn_in=burn_in, p_clip=p_clip),
         params, grads, state.xi, state.g, state.g2, state.p, noise)
 
     # Unzip the 5-tuples back into pytrees.

@@ -340,7 +340,8 @@ class Trainer:
             grads = sanitize_grads(sub_grad(sub, k_win), gclip)
             sub2, ss2 = sghmc_step(
                 sub, grads, ss, k, epsilon=self.cfg.epsilon,
-                mdecay=self.cfg.mdecay, x_n=x_n, burn_in=flag)
+                mdecay=self.cfg.mdecay, x_n=x_n, burn_in=flag,
+                p_clip=self.cfg.sghmc_p_clip)
             return (ops.clip_log(sub2, clip), ss2), None
 
         (sub, ss), _ = jax.lax.scan(

@@ -48,7 +48,17 @@ def kernel_precal(kernel_type: str, kparams: KernelParams, z: jnp.ndarray,
     """Factorize Kmm = K(Z,Z) + jitter·I for all D dims at once.
 
     Uses the fused chol_and_inv custom op: its backward is matmul-only, so
-    no (slow, sequential) TPU triangular solve appears in the gradient."""
+    no (slow, sequential) TPU triangular solve appears in the gradient.
+
+    NEGATIVE RESULT (round 3, kept as documentation): a scale-relative fp32
+    jitter floor (jitter + 1e-3·maxdiag) was tried here against the fp32
+    sampler escape and REJECTED by measurement — at real escaping-chain
+    states (tests/golden/catapult_state_*.npz, grad_crosscheck.py) the bare
+    fp32 kernel-hyper gradient is within 6-40% of fp64, while the floor
+    distorted the TRUE gradient by 60-320% (the jitter's own gradient
+    dominates the weak plateau signal).  The escape is instead handled in
+    parameter space: sghmc_log_clip (reflecting barrier inside the
+    objective's cliff) + sghmc_p_clip (catapult bound) — see config.py."""
     kmm = kops.gram(kernel_type, kparams, z)
     m = z.shape[0]
     eye = jnp.eye(m, dtype=kmm.dtype)

@@ -235,8 +235,8 @@ def adapt_warmstart_xdim(params: GPSSMParams, x_dim: int,
         log_rchol=params.log_rchol)
 
 
-def init_hidden_layers(key: jax.Array, n_hidden: int,
-                       head: GPSSMParams) -> Tuple[HiddenLayerParams, ...]:
+def init_hidden_layers(key: jax.Array, n_hidden: int, head: GPSSMParams,
+                       var_scale: float = 1.0) -> Tuple[HiddenLayerParams, ...]:
     """Initialize ``n_hidden`` deep-transition layers from a trained/warm
     head layer (see model/deep.py).
 
@@ -245,10 +245,16 @@ def init_hidden_layers(key: jax.Array, n_hidden: int,
     equals the shallow one at initialization (plus the layer's predictive
     variance as inter-layer noise).  Inducing inputs copy the head's Z with
     a small jitter (they live in the same latent+control space); kernel
-    hyperparameters copy the head's.  The reference has no deep
-    initialization at all (its warm-start files are single-layer).
+    hyperparameters copy the head's, with the signal variance multiplied by
+    ``var_scale`` (σ²_hidden = var_scale·σ²_head).  var_scale < 1 shrinks
+    the injected inter-layer noise at the start of training — the knob for
+    the short/noisy-dataset regression study (PARITY §2b-deep: actuator).
+    The reference has no deep initialization at all (its warm-start files
+    are single-layer).
     """
     layers = []
+    log_scale = jnp.log(jnp.asarray(var_scale,
+                                    head.kernel.log_variance.dtype))
     for _ in range(n_hidden):
         key, kz = jax.random.split(key)
         z = head.z + 0.01 * jax.random.normal(kz, head.z.shape, head.z.dtype)
@@ -256,7 +262,7 @@ def init_hidden_layers(key: jax.Array, n_hidden: int,
             u=jnp.zeros_like(head.u),
             z=z,
             kernel=KernelParams(
-                log_variance=head.kernel.log_variance,
+                log_variance=head.kernel.log_variance + log_scale,
                 log_lengthscales=head.kernel.log_lengthscales)))
     return tuple(layers)
 

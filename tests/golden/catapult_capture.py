@@ -1,10 +1,11 @@
 """Replay the flutter C5 fp32 trajectory (seed 0, chunk 50 — identical PRNG
-stream to probe_escape.py) to just before the escape, then instrument the
-21-sub-step SGHMC phase per sub-step until the catapult (|Δθ| > 1 on a
-sampled leaf) is caught.  Dumps the pre-catapult state + the offending
-gradient to an npz for a separate fp64 cross-check (grad_crosscheck.py).
+stream to probe_escape.py) to just before the escape, then run a JITTED
+instrumented clone of the 21-sub-step SGHMC phase per iteration, recording
+per-sub-step theta/grad/preconditioner/momentum traces until the catapult
+(|Δθ| > 1 on a sampled leaf).  Dumps the pre-catapult TrainState to an npz
+for a separate fp64 cross-check.
 
-Usage: python tests/golden/catapult_capture.py [upto_step=550] [max_extra=100]
+Usage: python tests/golden/catapult_capture.py [upto=550] [max_extra=100]
 NEVER run two TPU processes concurrently (single tunneled chip).
 """
 
@@ -27,12 +28,14 @@ def main():
     from ffvd_tpu.config import FFVDConfig
     from ffvd_tpu.inference.sghmc import sghmc_step
     from ffvd_tpu.inference.trainer import SubsetOps, sanitize_grads
+    from ffvd_tpu.model import conditionals
 
-    cfg = FFVDConfig(dataset="flutter", case=5, iterations=2000, seed=0)
+    conditionals.F32_REL_JITTER = 0.0     # reproduce the round-2 numerics
+    cfg = FFVDConfig(dataset="flutter", case=5, iterations=2000, seed=0,
+                     sghmc_p_clip=None)   # reproduce the round-2 escape
     model = FFVDModel(cfg, dtype=jnp.float32)
     trainer = model.trainer
 
-    # Phase 1: replay to `upto` with the same chunking as the probe.
     done = 0
     while done < upto:
         m = min(50, upto - done)
@@ -40,81 +43,105 @@ def main():
         model.state, _ = trainer.run(model.state, m, sub,
                                      chunk_size=m, nan_check=False)
         done += m
-    print(f"replayed to step {done}; lv="
-          f"{np.asarray(model.state.params.kernel.log_variance)}")
+    print(f"replayed to step {done}", flush=True)
 
-    # Phase 2: instrumented outer iterations.  For each iteration we first
-    # clone trainer._sghmc_phase as a python loop with identical keys and
-    # per-sub-step logging, then advance the real state with outer_step on
-    # the same key (so the trajectory stays bit-identical to the probe's).
     ops = SubsetOps(trainer.labels, model.state.params)
-    flags = [True] + [True, False] * 10
+    flags = jnp.asarray([True] + [True, False] * 10)
+
+    def sub_grad(sub, params):
+        return jax.grad(
+            lambda s: trainer.nll_fn(ops.merge(s, params), trainer.data))(sub)
+
+    @jax.jit
+    def instrumented(state, key):
+        """Clone of trainer._sghmc_phase with per-sub-step trace outputs,
+        then the REAL outer_step on the same key (identical trajectory)."""
+        params = state.params
+        k_sghmc, _, _ = jax.random.split(key, 3)
+        keys = jax.random.split(k_sghmc, flags.shape[0])
+        x_n = params.x.shape[0]
+
+        def body(carry, inp):
+            flag, k = inp
+            sub, ss = carry
+            g = sub_grad(sub, params)
+            gs = sanitize_grads(g, cfg.sghmc_grad_clip)
+            sub2, ss2 = sghmc_step(sub, gs, ss, k, epsilon=cfg.epsilon,
+                                   mdecay=cfg.mdecay, x_n=x_n, burn_in=flag,
+                                   p_clip=None)
+            tr = {"theta_kvar": sub[0], "grad_kvar": g[0],
+                  "g2_kvar": ss.g2[0], "p_kvar": ss2.p[0],
+                  "theta_kls": sub[1], "grad_kls": g[1],
+                  "g2_kls": ss.g2[1], "p_kls": ss2.p[1],
+                  "nll": trainer.nll_fn(ops.merge(sub, params), trainer.data)}
+            return (ops.clip_log(sub2, cfg.sghmc_log_clip), ss2), tr
+
+        _, traces = jax.lax.scan(
+            body, (ops.split(params), ops.split_state(state.sghmc)),
+            (flags, keys))
+        new_state, _ = trainer.outer_step(state, key)
+        return new_state, traces
+
     out = Path(__file__).parent / "catapult_flutter_C5_s0.jsonl"
     fh = out.open("w")
 
-    outer = jax.jit(trainer.outer_step)
-
-    # remaining keys of the current chunk stream: the probe generates keys
-    # per 50-iteration chunk; reproduce that structure.
     def iter_keys():
-        nonlocal model
         while True:
             model.key, sub = jax.random.split(model.key)
             for k in jax.random.split(sub, 50):
                 yield k
 
-    sub_grad = jax.jit(jax.grad(
-        lambda s, p: trainer.nll_fn(ops.merge(s, p), trainer.data)))
-    sub_nll = jax.jit(
-        lambda s, p: trainer.nll_fn(ops.merge(s, p), trainer.data))
+    def dump_state(state, it, tag):
+        save = {"iter": np.int64(it)}
+        for kp, leaf in jax.tree_util.tree_leaves_with_path(state.params):
+            save["param" + jax.tree_util.keystr(kp)] = np.asarray(leaf)
+        for name, tree in [("xi", state.sghmc.xi), ("g", state.sghmc.g),
+                           ("g2", state.sghmc.g2), ("p", state.sghmc.p)]:
+            for kp, leaf in jax.tree_util.tree_leaves_with_path(tree):
+                save[name + jax.tree_util.keystr(kp)] = np.asarray(leaf)
+        np.savez(Path(__file__).parent / f"catapult_state_{tag}.npz", **save)
+        print(f"dumped state at iter {it} ({tag})", flush=True)
 
+    dump_iters = {560, 580, 590, 600, 620, 640}
     caught = False
     for it, key in zip(range(done, done + max_extra), iter_keys()):
-        k_sghmc, _, _ = jax.random.split(key, 3)
-        keys = jax.random.split(k_sghmc, len(flags))
-        params = model.state.params
-        sub = ops.split(params)
-        ss = ops.split_state(model.state.sghmc)
-        x_n = params.x.shape[0]
-        for j, (flag, kk) in enumerate(zip(flags, keys)):
-            g = sub_grad(sub, params)
-            gs = sanitize_grads(g, cfg.sghmc_grad_clip)
-            sub2, ss2 = sghmc_step(sub, gs, ss, kk, epsilon=cfg.epsilon,
-                                   mdecay=cfg.mdecay, x_n=x_n, burn_in=flag)
-            rec = {
-                "iter": it, "sub": j,
-                "theta_kvar": np.asarray(sub[0], np.float64).tolist(),
-                "grad_kvar": np.asarray(g[0], np.float64).tolist(),
-                "grad_kls_absmax": float(jnp.max(jnp.abs(g[1]))),
-                "p_kvar": np.asarray(ss2.p[0], np.float64).tolist(),
-                "p_kls_absmax": float(jnp.max(jnp.abs(ss2.p[1]))),
-                "minv_kvar": np.asarray(
-                    1.0 / (jnp.sqrt(ss.g2[0] + 1e-16) + 1e-16),
-                    np.float64).tolist(),
-                "nll": float(sub_nll(sub, params)),
-            }
-            fh.write(json.dumps(rec) + "\n")
-            dmax = float(max(jnp.max(jnp.abs(s2 - s1))
-                             for s1, s2 in zip(sub, sub2)))
-            if dmax > 1.0 and not caught:
-                caught = True
-                print(f"CATAPULT at iter {it} sub {j}: max|dtheta|={dmax:.3g}")
-                save = {"iter": np.int64(it), "sub": np.int64(j)}
-                for name, tree in [("theta", sub), ("grad", g),
-                                   ("xi", ss.xi), ("gm", ss.g), ("g2", ss.g2),
-                                   ("p", ss.p)]:
-                    for i, leaf in enumerate(tree):
-                        save[f"{name}_{i}"] = np.asarray(leaf)
-                for kp, leaf in jax.tree_util.tree_leaves_with_path(params):
-                    save["param" + jax.tree_util.keystr(kp)] = np.asarray(leaf)
-                np.savez(Path(__file__).parent / "catapult_state.npz", **save)
-                fh.flush()
-            sub, ss = ops.clip_log(sub2, cfg.sghmc_log_clip), ss2
-        model.state, _ = outer(model.state, key)
-        if caught:
+        prev_state = model.state
+        if it in dump_iters:
+            dump_state(prev_state, it, f"it{it}")
+        model.state, tr = instrumented(prev_state, key)
+        tr = jax.tree.map(lambda a: np.asarray(a, np.float64), tr)
+        rec = {"iter": it,
+               "nll": tr["nll"].tolist(),
+               "theta_kvar": tr["theta_kvar"].tolist(),
+               "grad_kvar": tr["grad_kvar"].tolist(),
+               "g2_kvar": tr["g2_kvar"].tolist(),
+               "p_kvar": tr["p_kvar"].tolist(),
+               "theta_kls_max": tr["theta_kls"].max(axis=(1, 2)).tolist(),
+               "grad_kls_absmax": np.abs(tr["grad_kls"]).max(axis=(1, 2)).tolist(),
+               "g2_kls_max": tr["g2_kls"].max(axis=(1, 2)).tolist(),
+               "p_kls_absmax": np.abs(tr["p_kls"]).max(axis=(1, 2)).tolist()}
+        fh.write(json.dumps(rec) + "\n")
+        fh.flush()
+        pmax = max(np.abs(tr["p_kvar"]).max(), np.abs(tr["p_kls"]).max())
+        if pmax > 1.0 and not caught:
+            caught = True
+            print(f"CATAPULT at iter {it}: max|p|={pmax:.3g}", flush=True)
+            save = {"iter": np.int64(it)}
+            for kp, leaf in jax.tree_util.tree_leaves_with_path(
+                    prev_state.params):
+                save["param" + jax.tree_util.keystr(kp)] = np.asarray(leaf)
+            for name, tree in [("xi", prev_state.sghmc.xi),
+                               ("g", prev_state.sghmc.g),
+                               ("g2", prev_state.sghmc.g2),
+                               ("p", prev_state.sghmc.p)]:
+                for kp, leaf in jax.tree_util.tree_leaves_with_path(tree):
+                    save[name + jax.tree_util.keystr(kp)] = np.asarray(leaf)
+            np.savez(Path(__file__).parent / "catapult_state.npz", **save)
+            # a few more iterations of traces after the catapult, then stop
+        if caught and it > 0 and pmax <= 1.0:
             break
     fh.close()
-    print(f"wrote {out}; caught={caught}")
+    print(f"wrote {out}; caught={caught}", flush=True)
 
 
 if __name__ == "__main__":

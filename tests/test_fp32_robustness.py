@@ -1,0 +1,81 @@
+"""fp32 sampler-robustness guards (the escape region of PARITY §2b-deep).
+
+Measured mechanism (tests/golden/catapult_capture.py + grad_crosscheck.py on
+the escaping flutter×C5 fp32 chain): the C5 objective is a near-flat plateau
+in the sampled log-variance up to ≈ +20 with a weak (0.005-0.05) restoring
+gradient, then a catastrophic cliff at ≈ +21-29.  fp64 chains bounce off the
+cliff on exact gradients; fp32 gradients there are conditioning-garbage
+(6-40% error on the plateau, sign-flipping at the cliff), so the chain
+diffuses across and pins at the old ±30 clip with a frozen preconditioner.
+
+Guards under test (config.py):
+ 1. sghmc_log_clip = 12.0 — a reflecting barrier INSIDE the cliff;
+ 2. sghmc_p_clip = 1.0 — bounds any single sub-step move (catapult guard).
+
+A scale-relative fp32 jitter floor was tried and REJECTED by measurement
+(it distorted the true plateau gradient 60-320% — worse than fp32 noise);
+see the negative-result note in model/conditionals.kernel_precal.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_guard_defaults():
+    from ffvd_tpu.config import FFVDConfig
+    cfg = FFVDConfig()
+    assert cfg.sghmc_log_clip == 12.0   # inside the measured cliff (~21-29)
+    assert cfg.sghmc_p_clip == 1.0
+    assert cfg.sghmc_grad_clip == 1e6
+
+
+def test_log_clip_is_reflecting_barrier_in_phase():
+    """clip_log_leaves at the new default must bound log-parameterized
+    leaves at ±12 while leaving non-log leaves alone."""
+    from ffvd_tpu.inference.trainer import clip_log_leaves
+    tree = {"kernel_log_variance": jnp.asarray([25.0, -40.0, 3.0]),
+            "u": jnp.asarray([55.0])}
+    out = clip_log_leaves(tree, 12.0)
+    np.testing.assert_allclose(np.asarray(out["kernel_log_variance"]),
+                               [12.0, -12.0, 3.0])
+    np.testing.assert_allclose(np.asarray(out["u"]), [55.0])
+
+
+def test_sghmc_p_clip_bounds_catapult():
+    """A garbage gradient against a stale (small-g2) preconditioner must not
+    move a parameter more than p_clip in one sub-step; with p_clip=None the
+    same inputs reproduce the catapult (documents the failure mode)."""
+    from ffvd_tpu.inference.sghmc import SGHMCState, sghmc_step
+
+    theta = {"lv": jnp.asarray([3.0], jnp.float32)}
+    grads = {"lv": jnp.asarray([-1e6], jnp.float32)}   # sanitize-clipped max
+    state = SGHMCState(
+        xi={"lv": jnp.asarray([100.0], jnp.float32)},
+        g={"lv": jnp.asarray([1e-4], jnp.float32)},
+        g2={"lv": jnp.asarray([1e-8], jnp.float32)},   # stale: tuned to tiny
+        p={"lv": jnp.asarray([0.0], jnp.float32)})     # past gradients
+    kw = dict(epsilon=0.01, mdecay=0.05, x_n=513, burn_in=False)
+
+    free, _ = sghmc_step(theta, grads, state, jax.random.key(0),
+                         p_clip=None, **kw)
+    clipped, _ = sghmc_step(theta, grads, state, jax.random.key(0),
+                            p_clip=1.0, **kw)
+    jump_free = float(jnp.abs(free["lv"] - theta["lv"])[0])
+    jump_clip = float(jnp.abs(clipped["lv"] - theta["lv"])[0])
+    assert jump_free > 100.0, jump_free        # the catapult, reproduced
+    assert jump_clip <= 1.0 + 1e-6, jump_clip  # bounded move
+
+    # inactive in the healthy regime: same tiny-gradient step with and
+    # without the clip must be bit-identical (reference semantics untouched)
+    grads_ok = {"lv": jnp.asarray([0.03], jnp.float32)}
+    state_ok = SGHMCState(
+        xi={"lv": jnp.asarray([2.0], jnp.float32)},
+        g={"lv": jnp.asarray([0.03], jnp.float32)},
+        g2={"lv": jnp.asarray([1e-3], jnp.float32)},
+        p={"lv": jnp.asarray([0.01], jnp.float32)})
+    a, _ = sghmc_step(theta, grads_ok, state_ok, jax.random.key(1),
+                      p_clip=None, **kw)
+    b, _ = sghmc_step(theta, grads_ok, state_ok, jax.random.key(1),
+                      p_clip=1.0, **kw)
+    np.testing.assert_array_equal(np.asarray(a["lv"]), np.asarray(b["lv"]))

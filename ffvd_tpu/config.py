@@ -110,6 +110,11 @@ class FFVDConfig:
     # splittable/stable) or 'rbg' (hardware-friendly, ~1.5x faster sampler
     # throughput on TPU for SGHMC-heavy cases).
     prng_impl: str = "threefry2x32"
+    # Unroll factor for the 21-sub-step SGHMC scan (trainer._sghmc_phase).
+    # >1 lets XLA fuse/pipeline across sub-steps at the cost of a larger
+    # program (the scan is inside the outer per-iteration scan, so compile
+    # time grows with it).  Trajectories are identical for any value.
+    sghmc_unroll: int = 1
     # Particle Gibbs: False = the reference's storage (resampled states per
     # time, no ancestry — trajectories are filtering-marginal patchworks,
     # base_model.py:83-133); True = proper ancestor-traced CSMC whose output

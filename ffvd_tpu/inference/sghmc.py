@@ -93,12 +93,21 @@ def _tree_normals(key: jax.Array, tree: Pytree) -> Pytree:
 
 def sghmc_step(params: Pytree, grads: Pytree, state: SGHMCState,
                key: jax.Array, *, epsilon: float, mdecay: float, x_n: int,
-               burn_in: bool, p_clip=None) -> Tuple[Pytree, SGHMCState]:
+               burn_in: bool, p_clip=None,
+               noise: Pytree = None) -> Tuple[Pytree, SGHMCState]:
     """One burn-in (adapt+move) or sampling (move-only) update over an entire
     pytree of sampled variables.  ``burn_in`` may be a python bool or a traced
     scalar (the reference's two assign lists become one selected program).
-    ``p_clip`` bounds the per-sub-step move (see _leaf_update)."""
-    noise = _tree_normals(key, params)
+    ``p_clip`` bounds the per-sub-step move (see _leaf_update).
+
+    ``noise``: optional pre-drawn standard normals (same pytree as params).
+    Callers that scan many sub-steps hoist the PRNG work out of the
+    sequential scan by vmapping ``_tree_normals`` over all sub-step keys —
+    bit-identical to drawing inside (normal(k, shape) is a pure function of
+    the key), but the hardware generates every draw in parallel while the
+    scan is bottlenecked on the gradient chain."""
+    if noise is None:
+        noise = _tree_normals(key, params)
 
     flat = jax.tree.map(
         lambda th, gr, xi, g, g2, p, nu: _leaf_update(

@@ -315,6 +315,19 @@ class Trainer:
         gclip = self.cfg.sghmc_grad_clip
 
         ops = SubsetOps(self.labels, params)
+        sub0 = ops.split(params)
+        # Hoist the sampler noise out of the sequential sub-step scan: the
+        # scan is bottlenecked on the 21-gradient chain, so all 21 noise
+        # draws batch-generate in parallel up front — bit-identical to
+        # drawing inside (normal(k, shape) is a pure function of the key;
+        # windowed/stochastic bodies draw from the first half of a split,
+        # reproduced here).
+        from ffvd_tpu.inference.sghmc import _tree_normals
+        if self.window_n is not None or self.stochastic:
+            noise_keys = jax.vmap(lambda k: jax.random.split(k)[0])(keys)
+        else:
+            noise_keys = keys
+        noise_all = jax.vmap(lambda k: _tree_normals(k, sub0))(noise_keys)
 
         def sub_nll(sub, k_win):
             p = ops.merge(sub, params)
@@ -331,9 +344,9 @@ class Trainer:
         sub_grad = jax.grad(sub_nll)
 
         def body(carry, inp):
-            flag, k = inp
+            flag, k, nz = inp
             if self.window_n is not None or self.stochastic:
-                k, k_win = jax.random.split(k)  # static branch: keeps the
+                _, k_win = jax.random.split(k)  # static branch: keeps the
             else:                               # full-batch PRNG stream of
                 k_win = None                    # shallow runs unchanged
             sub, ss = carry
@@ -341,11 +354,12 @@ class Trainer:
             sub2, ss2 = sghmc_step(
                 sub, grads, ss, k, epsilon=self.cfg.epsilon,
                 mdecay=self.cfg.mdecay, x_n=x_n, burn_in=flag,
-                p_clip=self.cfg.sghmc_p_clip)
+                p_clip=self.cfg.sghmc_p_clip, noise=nz)
             return (ops.clip_log(sub2, clip), ss2), None
 
         (sub, ss), _ = jax.lax.scan(
-            body, (ops.split(params), ops.split_state(sstate)), (flags, keys))
+            body, (sub0, ops.split_state(sstate)), (flags, keys, noise_all),
+            unroll=self.cfg.sghmc_unroll)
         return ops.merge(sub, params), ops.merge_state(ss, sstate)
 
     def outer_step(self, state: TrainState, key: jax.Array,

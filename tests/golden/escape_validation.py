@@ -1,0 +1,73 @@
+"""Validate the fp32 sampler-escape fix e2e (VERDICT round-3 item 1).
+
+Full workload (C5, 4000 iterations + 10-sample eval) on one TPU chip, fp32,
+with the round-3 guards at their defaults (sghmc_log_clip=12, p_clip=1):
+  - flutter C5 seeds 0-2  (round 2: diverged to RMSE 1531 / 1.6e6)
+  - ballbeam C5 seeds 0-4 (round 2: one of 5 seeds escaped to 0.2209)
+
+Records rmse/nll/train-time plus the final sampled-hyper ranges and whether
+any leaf sits on the clip (saturation = fix failed).  Done-criterion
+(VERDICT): flutter RMSE within the fp64 bracket (≲1.0; fp64 anchors ours
+0.672 / ref 0.768), no clip saturation; ballbeam escape seed gone.
+
+Usage: python tests/golden/escape_validation.py [datasets...]
+NEVER run two TPU processes concurrently (single tunneled chip).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    jobs = {"flutter": (0, 1, 2), "ballbeam": (0, 1, 2, 3, 4)}
+    if len(sys.argv) > 1:
+        jobs = {d: jobs[d] for d in sys.argv[1:]}
+
+    from ffvd_tpu.api import FFVDModel
+    from ffvd_tpu.config import FFVDConfig
+
+    outjson = Path(__file__).parent / "escape_validation.json"
+    results = json.loads(outjson.read_text()) if outjson.exists() else {}
+
+    for ds, seeds in jobs.items():
+        for seed in seeds:
+            tag = f"{ds}_C5_s{seed}"
+            if tag in results:
+                print(f"skip {tag}", flush=True)
+                continue
+            cfg = FFVDConfig(dataset=ds, case=5, iterations=2000, seed=seed)
+            model = FFVDModel(cfg, dtype=jnp.float32)
+            t0 = time.time()
+            model.fit()
+            t1 = time.time()
+            ev = model.evaluate()
+            p = model.params
+            lv = np.asarray(p.kernel.log_variance, np.float64)
+            ls = np.asarray(p.kernel.log_lengthscales, np.float64)
+            clip = cfg.sghmc_log_clip
+            rec = {
+                "rmse": ev["rmse"], "nll": ev["nll"],
+                "train_time_sec": round(t1 - t0, 1),
+                "log_var": lv.tolist(),
+                "log_ls_minmax": [float(ls.min()), float(ls.max())],
+                "clip_saturated": bool(np.abs(lv).max() >= clip - 1e-3
+                                       or np.abs(ls).max() >= clip - 1e-3),
+            }
+            results[tag] = rec
+            outjson.write_text(json.dumps(results, indent=1))
+            print(tag, {k: rec[k] for k in
+                        ("rmse", "nll", "train_time_sec", "clip_saturated")},
+                  "lv", np.round(lv, 2).tolist(), flush=True)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

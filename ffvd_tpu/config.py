@@ -97,7 +97,17 @@ class FFVDConfig:
     #    |∇| ≈ 2e19).  The RMS preconditioner makes the update scale-free,
     #    so clipping huge gradients barely perturbs the dynamics.
     sghmc_grad_clip: Optional[float] = 1e6
-    # 3) per-sub-step momentum (= parameter move) bound.  A healthy chain
+    # 3) trust-region gradient guard: per element, |∇| is clipped to
+    #    max(spike_clip·√g2, 1.0) where √g2 is the SG-HMC preconditioner's
+    #    own running RMS gradient.  The measured fp32 escape fuel is a
+    #    single garbage sub-step gradient (−79.8 amid ±0.02 neighbors,
+    #    catapult_flutter_C5_s0.jsonl iter 585) whose momentum impulse
+    #    coasts ~1/mdecay sub-steps (+1.4 log-units); a 20× running-RMS
+    #    outlier is numerical garbage by construction, and the absolute
+    #    floor of 1.0 leaves legitimately large early-burn-in gradients
+    #    alone.  None disables.
+    sghmc_spike_clip: Optional[float] = 20.0
+    # 4) per-sub-step momentum (= parameter move) bound.  A healthy chain
     #    moves |Δθ| ≲ 0.05 per sub-step at the reference's ε=0.01; the fp32
     #    escape (PARITY §2b-deep) is a CATAPULT — one sub-step jumping a
     #    log-hyperparameter by ~25 when an ill-conditioned fp32 Cholesky

@@ -172,7 +172,8 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
                                          epsilon=cfg.epsilon,
                                          mdecay=cfg.mdecay, x_n=x_n,
                                          burn_in=False,
-                                         p_clip=cfg.sghmc_p_clip)
+                                         p_clip=cfg.sghmc_p_clip,
+                                         spike_clip=cfg.sghmc_spike_clip)
                     return (ops.clip_log(sb2, cfg.sghmc_log_clip), s2), None
 
                 (sub, sstate), _ = jax.lax.scan(

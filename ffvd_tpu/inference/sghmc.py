@@ -53,7 +53,18 @@ def sghmc_init(params: Pytree) -> SGHMCState:
 
 
 def _leaf_update(theta, grad, xi, g, g2, p, noise_u, *, epsilon, mdecay,
-                 x_n, burn_in, p_clip=None):
+                 x_n, burn_in, p_clip=None, spike_clip=None):
+    if spike_clip is not None:
+        # Trust-region guard against fp32 factorization spikes (see
+        # FFVDConfig.sghmc_spike_clip): a sub-step gradient tens of times the
+        # preconditioner's own running RMS (√g2) is numerical garbage — the
+        # measured escape fuel was a single −79.8 gradient amid ±0.02
+        # neighbors (tests/golden/catapult_flutter_C5_s0.jsonl, iter 585) —
+        # and through M⁻¹ it becomes a momentum impulse that coasts
+        # ~1/mdecay sub-steps.  The absolute floor keeps legitimately large
+        # early-burn-in gradients (stale tiny g2) unclipped.
+        bound = jnp.maximum(spike_clip * jnp.sqrt(g2 + 1e-16), 1.0)
+        grad = jnp.clip(grad, -bound, bound)
     r = 1.0 / (xi + 1.0)
     g_t = (1.0 - r) * g + r * grad
     g2_t = (1.0 - r) * g2 + r * grad * grad
@@ -93,7 +104,7 @@ def _tree_normals(key: jax.Array, tree: Pytree) -> Pytree:
 
 def sghmc_step(params: Pytree, grads: Pytree, state: SGHMCState,
                key: jax.Array, *, epsilon: float, mdecay: float, x_n: int,
-               burn_in: bool, p_clip=None,
+               burn_in: bool, p_clip=None, spike_clip=None,
                noise: Pytree = None) -> Tuple[Pytree, SGHMCState]:
     """One burn-in (adapt+move) or sampling (move-only) update over an entire
     pytree of sampled variables.  ``burn_in`` may be a python bool or a traced
@@ -112,7 +123,7 @@ def sghmc_step(params: Pytree, grads: Pytree, state: SGHMCState,
     flat = jax.tree.map(
         lambda th, gr, xi, g, g2, p, nu: _leaf_update(
             th, gr, xi, g, g2, p, nu, epsilon=epsilon, mdecay=mdecay,
-            x_n=x_n, burn_in=burn_in, p_clip=p_clip),
+            x_n=x_n, burn_in=burn_in, p_clip=p_clip, spike_clip=spike_clip),
         params, grads, state.xi, state.g, state.g2, state.p, noise)
 
     # Unzip the 5-tuples back into pytrees.

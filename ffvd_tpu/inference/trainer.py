@@ -354,7 +354,8 @@ class Trainer:
             sub2, ss2 = sghmc_step(
                 sub, grads, ss, k, epsilon=self.cfg.epsilon,
                 mdecay=self.cfg.mdecay, x_n=x_n, burn_in=flag,
-                p_clip=self.cfg.sghmc_p_clip, noise=nz)
+                p_clip=self.cfg.sghmc_p_clip,
+                spike_clip=self.cfg.sghmc_spike_clip, noise=nz)
             return (ops.clip_log(sub2, clip), ss2), None
 
         (sub, ss), _ = jax.lax.scan(

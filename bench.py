@@ -49,8 +49,12 @@ def _steady_rate(trainer, state, iters, key):
     import jax
     import jax.numpy as jnp
 
+    # Warm-up with the SAME chunk length: run() compiles one fused program
+    # per distinct chunk length, so a shorter warm-up would leave the timed
+    # stretch to compile (this exact bug produced the bogus first-run extras
+    # c2=81.9/c5=70.2/m512=140ms — vs true steady 394/190/?).
     key, kw = jax.random.split(key)
-    state, warm = trainer.run(state, min(50, iters), kw, chunk_size=iters)
+    state, warm = trainer.run(state, iters, kw, chunk_size=iters)
     jax.block_until_ready(warm)
     t0 = time.time()
     state, nlls = trainer.run(state, iters, key, chunk_size=iters)

@@ -2,6 +2,13 @@
 useful speed?  If yes, the flutter×C5 "use fp64 on CPU (99 min)" fallback
 (PARITY §2b-deep) becomes a minutes-scale TPU run.
 
+NEGATIVE RESULT (round 3, 2026-08-17): the x64-emulated program CRASHED the
+TPU worker ("TPU worker process crashed or restarted ... kernel fault",
+JaxRuntimeError UNAVAILABLE) during/after compilation of the fused C5
+chunk; the tunnel needed ~10 minutes to recover.  fp64 therefore stays a
+CPU-only path on this stack — do NOT re-run this probe casually on the
+shared chip.
+
 Usage: python tests/golden/fp64_tpu_probe.py [dataset] [seeds...]
 NEVER run two TPU processes concurrently (single tunneled chip).
 """

@@ -1,0 +1,74 @@
+"""Pin the round-3 NLL-parity closure (PARITY §2a) against the recorded
+study artifacts so the claim stays checkable.
+
+The claim: the residual NLL factor between our slip-mode runs and the
+reference's population is training precision.  Evidence pinned here, from
+`tests/golden/nll_study.json` (our runs) and the reference's own saved
+full-run artifacts (`tf_ref_<ds>_results.npz`, produced by executing the
+reference; NLL populations from `tf_reference_e2e.json`):
+
+  1. our fp64-trained slip-mode NLL lands INSIDE the reference's seed
+     population on both study datasets;
+  2. the fp64 run's step-1 rollout variance floor matches the reference's
+     within 2× (the fp32 floor is 13-170× looser);
+  3. the fp64 run's learned Q converges to the reference's optimum
+     (within 10% per dim).
+
+All pure JSON/npz reads — no model execution.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+GOLDEN = Path(__file__).parent / "golden"
+
+
+def _load(name):
+    return json.loads((GOLDEN / name).read_text())
+
+
+@pytest.fixture(scope="module")
+def study():
+    return _load("nll_study.json")
+
+
+@pytest.fixture(scope="module")
+def ref_e2e():
+    return _load("tf_reference_e2e.json")
+
+
+@pytest.mark.parametrize("ds", ["drive", "flutter"])
+def test_fp64_slip_nll_inside_reference_population(study, ref_e2e, ds):
+    rec = study[f"{ds}_slip_fp64cpu_s1"]
+    ref_nlls = [v["nll_metric"] for k, v in ref_e2e.items()
+                if k.startswith(f"{ds}_C4") and "nll_metric" in v]
+    assert len(ref_nlls) >= 5, "need the reference seed population"
+    assert min(ref_nlls) <= rec["nll"] <= max(ref_nlls), (
+        f"{ds}: fp64 slip NLL {rec['nll']:.0f} outside reference "
+        f"population [{min(ref_nlls):.0f}, {max(ref_nlls):.0f}]")
+
+
+@pytest.mark.parametrize("ds", ["drive", "flutter"])
+def test_fp64_variance_floor_matches_reference(study, ds):
+    rec = study[f"{ds}_slip_fp64cpu_s1"]
+    ref = np.load(GOLDEN / f"tf_ref_{ds}_results.npz")
+    v0_ref = float(np.ravel(ref["v_test_vfe_var"])[0])
+    assert 0.5 < rec["v_first"] / v0_ref < 2.0, (
+        f"{ds}: fp64 v̂[0]={rec['v_first']:.2e} vs ref {v0_ref:.2e}")
+    # and the fp32 floor really is the outlier the mechanism says it is
+    fp32 = np.load(GOLDEN / f"ours_{ds}_slip_seed1_results.npz")
+    v0_fp32 = float(np.ravel(fp32["v_test_vfe_var"])[0])
+    assert v0_fp32 / v0_ref > 5.0
+
+
+@pytest.mark.parametrize("ds", ["drive", "flutter"])
+def test_fp64_learned_Q_matches_reference_optimum(study, ds):
+    rec = study[f"{ds}_slip_fp64cpu_s1"]
+    ref = np.load(GOLDEN / f"tf_ref_{ds}_results.npz")
+    q_ref = np.exp(np.ravel(ref["log_QQ"]))
+    q_ours = np.asarray(rec["Q"])
+    assert np.all(np.abs(q_ours / q_ref - 1.0) < 0.10), (
+        f"{ds}: Q ours {q_ours} vs ref {q_ref}")

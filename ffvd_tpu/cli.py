@@ -59,6 +59,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(dgp_model.py:241-243; off by default like "
                         "FFVD_Main.py:271)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--n_ensemble", type=int, default=1,
+                   help="train K independent chains (seeds seed..seed+K-1) "
+                        "and report the pooled mixture prediction — "
+                        "calibrated free-run uncertainty the single-chain "
+                        "protocol can't give (PARITY.md §2d; beyond the "
+                        "reference, which is single-chain only)")
     p.add_argument("--rollout_qsqrt_dim0", action="store_true",
                    help="bug-compat: reproduce the reference's rollout "
                         "variance slip (dim 0's q(U) factor applied to every "
@@ -147,6 +153,25 @@ def main(argv=None):
     print(f"#### {dataset} | case C{cfg.case} | {platform} {precision} ####")
 
     dtype = jnp.float64 if precision == "fp64" else jnp.float32
+
+    if args.n_ensemble > 1:
+        from ffvd_tpu.eval import ensemble_evaluate, fit_ensemble
+        t0 = time.time()
+        models = fit_ensemble(cfg, args.n_ensemble, dtype=dtype,
+                              chunk_size=args.chunk_size)
+        train_time = time.time() - t0
+        res = ensemble_evaluate(models)
+        for i, pc in enumerate(res["per_chain"]):
+            print(f"chain {i} (seed {cfg.seed + i}): "
+                  f"RMSE {pc['rmse']:.6f}  NLL {pc['nll']:.6f}")
+        print(f"ensemble({args.n_ensemble}) pooled: "
+              f"RMSE: {res['rmse']:.6f}  NLL: {res['nll']:.6f}  "
+              f"(no-spread NLL {res['nll_no_spread']:.6f}; "
+              f"trained {train_time:.2f}s)")
+        return {"rmse": res["rmse"], "nll": res["nll"],
+                "per_chain": res["per_chain"], "train_time": train_time,
+                "final_elbo": -float(models[0].nll_trace[-1])}
+
     model = FFVDModel(cfg, dtype=dtype)  # data→warm-start→adapt→trainer
 
     t0 = time.time()

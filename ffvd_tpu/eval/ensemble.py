@@ -1,0 +1,121 @@
+"""Multi-chain / multi-seed ensemble pooling of the posterior predictive.
+
+Beyond-parity feature (measured motivation in
+tests/golden/flutter_c5_chain_study.json and PARITY.md §2d/§2e): both this
+rebuild and the reference evaluate a SINGLE chain's free-run rollout, whose
+predictive variance estimator (predict_summary, after base_model.py:334-343)
+averages within-chain sample variances only.  Chain-to-chain mode variation
+— large for SGHMC cases and for fp32 seeds generally — is invisible to it,
+which is why the 30-step NLL explodes into the thousands on both
+implementations (PARITY §2).  Pooling C independently-trained chains as an
+equal-weight mixture and keeping the mixture's total-variance term
+(within-chain variance + cross-chain spread of predictive means) yields
+calibrated free-run uncertainty at production speed: flutter C5 fp32 goes
+from per-chain NLL 5.9e3-2.0e4 to 0.64 pooled, RMSE 1.61-worst-chain to
+1.007 pooled.
+
+Chains are trained independently (one chip: sequential at full per-chain
+speed — vmapped chains are latency-bound, DESIGN §10; multi-chip: one chain
+per 'dp' mesh slot via parallel.MultiChainTrainer).  Pooling happens on
+host in float64: T×P arrays, microseconds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+Chain = Tuple[np.ndarray, np.ndarray, np.ndarray]  # y_s (S,T,P), v_s, r2 (P,)
+
+
+def chain_moments(model) -> Chain:
+    """Per-sample emission-space moments of one fitted FFVDModel: the
+    protocol's S thinned posterior rollouts (collect_posterior) pushed
+    through the emission BEFORE any averaging — predict_summary's
+    aggregation (eval/rollout.py:220-227) deferred so chains can pool."""
+    from ffvd_tpu.eval.rollout import collect_posterior
+    from ffvd_tpu.model.likelihoods import use_full_r
+
+    model.key, sub = jax.random.split(model.key)
+    xs, vs, model.state = collect_posterior(
+        model.trainer, model.state, model.dataset.n_test, sub)
+    p = model.params
+    y_s = np.asarray(xs @ p.c + p.d, np.float64)
+    v_s = np.asarray(vs @ (p.c * p.c), np.float64)
+    r2 = np.asarray(
+        p.r_var_diag if use_full_r(model.cfg.emission_noise, p.c.shape[1])
+        else p.rchol_diag ** 2, np.float64)
+    return y_s, v_s, r2
+
+
+def pool_moments(chains: Sequence[Chain], include_spread: bool = True
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Equal-weight mixture moments over chains' pooled samples.
+
+    Mean: average over all (chain, sample) predictive means.  Variance:
+    law of total variance for the mixture — mean within-sample variance
+    (+ mean emission noise) plus, when ``include_spread``, the variance of
+    the predictive means across all pooled samples.  ``include_spread=False``
+    reproduces the single-chain protocol estimator applied to the pool
+    (for ablation; it stays overconfident)."""
+    y_all = np.concatenate([c[0] for c in chains], axis=0)
+    v_all = np.concatenate([c[1] for c in chains], axis=0)
+    r2 = np.mean([c[2] for c in chains], axis=0)
+    py = y_all.mean(axis=0)
+    pv = v_all.mean(axis=0) + r2
+    if include_spread:
+        pv = pv + y_all.var(axis=0)
+    return py, pv
+
+
+def _metrics(py, pv, y_test, y_train_std, horizon):
+    yt = np.asarray(y_test, np.float64)[:horizon].reshape(-1)
+    yp = py[:horizon].reshape(-1)
+    vp = pv[:horizon].reshape(-1)
+    rmse = float(np.sqrt(np.mean((yt - yp) ** 2)) * y_train_std)
+    nll = float(-np.mean(-0.5 * np.log(2 * math.pi * vp)
+                         - 0.5 * (yt - yp) ** 2 / vp))
+    return rmse, nll
+
+
+def ensemble_evaluate(models: List, horizon: int = 30,
+                      include_spread: bool = True) -> dict:
+    """Pooled mixture metrics + per-chain protocol metrics for C fitted
+    models (same dataset, different seeds).  Returns
+    {rmse, nll, nll_no_spread, predict_y, predict_y_var, per_chain}."""
+    ds = models[0].dataset
+    chains = [chain_moments(m) for m in models]
+    py, pv = pool_moments(chains, include_spread=include_spread)
+    rmse, nll = _metrics(py, pv, ds.y_test, ds.y_train_std, horizon)
+    py_ns, pv_ns = pool_moments(chains, include_spread=False)
+    _, nll_ns = _metrics(py_ns, pv_ns, ds.y_test, ds.y_train_std, horizon)
+    per = []
+    for y_s, v_s, r2 in chains:
+        r, n = _metrics(y_s.mean(axis=0), v_s.mean(axis=0) + r2,
+                        ds.y_test, ds.y_train_std, horizon)
+        per.append({"rmse": r, "nll": n})
+    return {"rmse": rmse, "nll": nll, "nll_no_spread": nll_ns,
+            "predict_y": py, "predict_y_var": pv, "per_chain": per}
+
+
+def fit_ensemble(cfg, n_chains: int, dtype=None,
+                 seeds: Optional[Sequence[int]] = None,
+                 **fit_kwargs) -> List:
+    """Train C independent chains of the same config (seeds default to
+    cfg.seed, cfg.seed+1, …) sequentially on the local device and return
+    the fitted FFVDModels.  For multi-chip 'dp' training use
+    parallel.MultiChainTrainer instead."""
+    from ffvd_tpu.api import FFVDModel
+
+    seeds = list(seeds) if seeds is not None else [
+        cfg.seed + i for i in range(n_chains)]
+    models = []
+    for s in seeds:
+        m = FFVDModel(dataclasses.replace(cfg, seed=s), dtype=dtype)
+        m.fit(**fit_kwargs)
+        models.append(m)
+    return models

@@ -175,3 +175,14 @@ class MultiChainTrainer:
             done += n
         return state, (jnp.concatenate(traces) if traces
                        else jnp.zeros((0, self.n_chains)))
+
+    @staticmethod
+    def rhat(nll_trace, burn_frac: float = 0.5) -> float:
+        """Split-R̂ over the post-burn-in tail of run()'s (T, C) nll trace.
+
+        The reference has no convergence diagnostic (chains are eyeballed
+        via print_sample_performance, base_model.py:952-989); this is the
+        standard replacement.  R̂ ≲ 1.01 on the nll ⇒ chains agree."""
+        from ffvd_tpu.utils.metrics import split_rhat
+        t = nll_trace.shape[0]
+        return split_rhat(nll_trace[int(t * burn_frac):])

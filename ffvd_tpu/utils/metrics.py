@@ -71,6 +71,39 @@ class MetricsLogger:
             self._fh.close()
 
 
+def split_rhat(trace) -> float:
+    """Split-R̂ (Gelman et al. 2013) over a (T, C) multi-chain scalar trace.
+
+    The reference ships no sampler convergence diagnostic at all — chains
+    are judged by eyeballing the nll printout (base_model.py:952-989).
+    With MultiChainTrainer (parallel/sharding.py) the per-chain nll traces
+    come back as (T, C); this turns them into the standard scalar: each
+    chain is split in half (2C half-chains of length T//2) and
+    R̂ = sqrt((T̂−1)/T̂ + B/(T̂·W)) with B/W the between/within half-chain
+    variances.  R̂ ≲ 1.01 ⇒ the halves are indistinguishable (stationary
+    and mixed); computed on nll it is a conservative whole-posterior
+    summary (any drifting function of the params shows up).
+
+    Accepts jnp or np input; returns a Python float (NaN if T < 4 or the
+    within-chain variance is exactly zero with zero between-variance —
+    a frozen chain is reported as R̂ = 1.0).
+    """
+    import numpy as np
+    x = np.asarray(trace, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    t = (x.shape[0] // 2) * 2
+    if t < 4:
+        return float("nan")
+    halves = np.concatenate([x[:t // 2], x[t // 2:t]], axis=1)  # (T/2, 2C)
+    n = halves.shape[0]
+    w = halves.var(axis=0, ddof=1).mean()
+    b = n * halves.mean(axis=0).var(ddof=1)
+    if w == 0.0:
+        return 1.0 if b == 0.0 else float("inf")
+    return float(np.sqrt((n - 1) / n + b / (n * w)))
+
+
 class TensorBoardSink:
     """The reference's fully-written-but-gated-off TensorBoard summaries
     (models.py:94-131, hardcoded ``write_tensorboard=False``), made live.

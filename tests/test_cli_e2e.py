@@ -40,3 +40,11 @@ def test_cli_c2_sghmc_eval_thinning():
                    "--iterations", "3", "--chunk_size", "3",
                    "--samples", "2", "--posterior_sample_spacing", "4"])
     assert np.isfinite(out["rmse"])
+
+
+def test_cli_ensemble():
+    out = run_cli(["--file_index", "5", "--case_val", "4",
+                   "--iterations", "30", "--chunk_size", "30",
+                   "--samples", "2", "--n_ensemble", "2"])
+    assert np.isfinite(out["rmse"]) and np.isfinite(out["nll"])
+    assert len(out["per_chain"]) == 2

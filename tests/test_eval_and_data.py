@@ -271,3 +271,23 @@ def test_linear_system_identification_end_to_end():
     # free-run on a stable contracting system: normalized 10-step RMSE
     # should land near the noise floor (r_std=0.1, y scale ~ y_train_std)
     assert float(rmse) < 3.0 * ds.y_train_std
+
+
+def test_split_rhat():
+    """utils.metrics.split_rhat — standard split-chain Gelman-Rubin values:
+    ~1 for iid stationary chains, >1.1 for chains at different levels or a
+    single drifting chain (the split catches within-chain trends)."""
+    from ffvd_tpu.utils.metrics import split_rhat
+
+    rng = np.random.RandomState(0)
+    mixed = rng.randn(2000, 4)
+    assert abs(split_rhat(mixed) - 1.0) < 0.02
+
+    separated = mixed + np.array([0.0, 0.0, 0.0, 5.0])
+    assert split_rhat(separated) > 1.5
+
+    drifting = rng.randn(2000) + np.linspace(0, 4, 2000)
+    assert split_rhat(drifting) > 1.1  # 1-D input: split halves disagree
+
+    assert split_rhat(np.ones((100, 3))) == 1.0  # frozen chain
+    assert np.isnan(split_rhat(np.ones((2, 3))))  # too short

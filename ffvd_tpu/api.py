@@ -147,8 +147,16 @@ class FFVDModel:
         return rmses, nlls
 
     def predict(self, test_len: Optional[int] = None,
-                num_samples: Optional[int] = None):
-        """Posterior-mean free-run prediction: (ŷ (T,P), v̂ (T,P))."""
+                num_samples: Optional[int] = None, spread: bool = False):
+        """Posterior-mean free-run prediction: (ŷ (T,P), v̂ (T,P)).
+
+        ``spread=True`` adds the across-rollout variance of the per-sample
+        predictive means to v̂ (the mixture total-variance term the
+        reference's estimator drops, base_model.py:334-343) — the
+        single-chain form of eval/ensemble's calibration fix: for
+        deterministic training cases (C1/C4, full-batch Adam) it gives the
+        same calibrated NLL as pooling seed-ensembles at 1× the train cost
+        (PARITY §2e)."""
         test_len = test_len or self.dataset.n_test
         self.key, sub = jax.random.split(self.key)
         xs, vs, self.state = collect_posterior(
@@ -157,12 +165,16 @@ class FFVDModel:
         py, pv, fy = predict_summary(self.params, xs, vs,
                                      self.cfg.emission_noise)
         self._last_fit_y = fy
+        if spread:
+            ys = xs @ self.params.c + self.params.d      # (S, T, P)
+            pv = pv + jnp.var(ys, axis=0)
         return py, pv
 
-    def evaluate(self, horizon: int = 30) -> dict:
+    def evaluate(self, horizon: int = 30, num_samples: Optional[int] = None,
+                 spread: bool = False) -> dict:
         """Train-free-run eval: RMSE/NLL on the first `horizon` test steps
-        (base_model.py:345-349, :629)."""
-        py, pv = self.predict()
+        (base_model.py:345-349, :629).  See predict() for ``spread``."""
+        py, pv = self.predict(num_samples=num_samples, spread=spread)
         rmse, nll = rmse_nll(
             jnp.asarray(self.dataset.y_test, self.dtype), py, pv,
             self.dataset.y_train_std, horizon=horizon)

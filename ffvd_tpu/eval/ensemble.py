@@ -102,20 +102,78 @@ def ensemble_evaluate(models: List, horizon: int = 30,
             "predict_y": py, "predict_y_var": pv, "per_chain": per}
 
 
+def multichain_moments(mct, state, test_len: int, key,
+                       num: Optional[int] = None,
+                       spacing: Optional[int] = None):
+    """Chain moments for a chain-stacked parallel.MultiChainTrainer state.
+
+    One jit of the single-chain collection closure (eval/rollout.
+    build_collect) vmapped over the chain axis — on a ('dp','ep') mesh the
+    C chains' thinning+rollout programs run one-per-'dp'-slot, so ensemble
+    collection scales across chips exactly like ensemble training.
+    Returns (chains list for pool_moments/ensemble-style metrics,
+    new stacked state)."""
+    from ffvd_tpu.eval.rollout import build_collect
+    from ffvd_tpu.model.likelihoods import use_full_r
+
+    cfg = mct.cfg
+    num = num or cfg.num_posterior_samples
+    spacing = spacing or cfg.posterior_sample_spacing
+    cache = getattr(mct, "_collect_cache", None)
+    if cache is None:
+        cache = mct._collect_cache = {}
+    k = (test_len, num, spacing)
+    if k not in cache:
+        cache[k] = jax.jit(jax.vmap(
+            build_collect(mct.base, test_len, num, spacing)))
+    keys = jax.random.split(key, mct.n_chains)
+    xs, vs, new_state = cache[k](state, keys)   # (C, S, T, D) ×2
+
+    p = state.params                            # chain-stacked
+    full_r = use_full_r(cfg.emission_noise, p.c.shape[-1])
+    chains = []
+    for i in range(mct.n_chains):
+        pi = jax.tree.map(lambda a: a[i], p)
+        y_s = np.asarray(xs[i] @ pi.c + pi.d, np.float64)
+        v_s = np.asarray(vs[i] @ (pi.c * pi.c), np.float64)
+        r2 = np.asarray(pi.r_var_diag if full_r else pi.rchol_diag ** 2,
+                        np.float64)
+        chains.append((y_s, v_s, r2))
+    return chains, new_state
+
+
 def fit_ensemble(cfg, n_chains: int, dtype=None,
                  seeds: Optional[Sequence[int]] = None,
-                 **fit_kwargs) -> List:
+                 init_jitter: float = 0.0, **fit_kwargs) -> List:
     """Train C independent chains of the same config (seeds default to
     cfg.seed, cfg.seed+1, …) sequentially on the local device and return
     the fitted FFVDModels.  For multi-chip 'dp' training use
-    parallel.MultiChainTrainer instead."""
+    parallel.MultiChainTrainer instead.
+
+    Seeds diversify the training PRNG stream, which only matters for
+    stochastic protocols (SGHMC / particle-Gibbs / minibatch / deep):
+    full-batch Adam cases (C1/C4) are deterministic given the warm start,
+    so different seeds converge to BIT-IDENTICAL parameters (verified in
+    tests/test_api.py) and the "ensemble" degenerates to pooled rollouts of
+    one chain — use ``spread``-mode eval there instead, or set
+    ``init_jitter`` (additive N(0, jitter²) perturbation of chains 1…C-1's
+    warm start, like MultiChainTrainer.stack_params) to make deterministic
+    chains explore genuinely different optima."""
     from ffvd_tpu.api import FFVDModel
 
     seeds = list(seeds) if seeds is not None else [
         cfg.seed + i for i in range(n_chains)]
     models = []
-    for s in seeds:
+    for i, s in enumerate(seeds):
         m = FFVDModel(dataclasses.replace(cfg, seed=s), dtype=dtype)
+        if init_jitter and i > 0:   # chain 0 keeps the exact warm start
+            leaves, treedef = jax.tree.flatten(m.params)
+            keys = jax.random.split(jax.random.key(s ^ 0x5EED), len(leaves))
+            leaves = [a + init_jitter * jax.random.normal(k, a.shape,
+                                                          a.dtype)
+                      for a, k in zip(leaves, keys)]
+            m.state = m.trainer.init_state(
+                jax.tree.unflatten(treedef, leaves))
         m.fit(**fit_kwargs)
         models.append(m)
     return models

@@ -89,15 +89,6 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
     cfg = trainer.cfg
     num = num or cfg.num_posterior_samples
     spacing = spacing or cfg.posterior_sample_spacing
-    n_train = trainer.data.y.shape[0]
-    controls = trainer.data.control[n_train:n_train + test_len]
-    if controls.shape[0] < test_len:  # control shorter than test (shouldn't happen)
-        pad = jnp.zeros((test_len - controls.shape[0], controls.shape[1]),
-                        controls.dtype)
-        controls = jnp.concatenate([controls, pad], axis=0)
-
-    kt, jit_ = cfg.kernel_type, cfg.jitter
-    collapse = cfg.case_config.u_collapse
 
     # jit cache on the trainer: a fresh closure per call would force a full
     # recompile of the S×(thinning + rollout) program on every evaluation.
@@ -107,6 +98,26 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
     cache_key = (test_len, num, spacing)
     if cache_key in cache:
         return cache[cache_key](state, key)
+
+    _collect = jax.jit(build_collect(trainer, test_len, num, spacing))
+    cache[cache_key] = _collect
+    return _collect(state, key)
+
+
+def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
+    """The un-jitted (state, key) → (xs, vs, state) collection closure —
+    exposed so MultiChainTrainer states can vmap it over a chain axis
+    (eval/ensemble.multichain_moments); collect_posterior jits it."""
+    cfg = trainer.cfg
+    n_train = trainer.data.y.shape[0]
+    controls = trainer.data.control[n_train:n_train + test_len]
+    if controls.shape[0] < test_len:  # control shorter than test (shouldn't happen)
+        pad = jnp.zeros((test_len - controls.shape[0], controls.shape[1]),
+                        controls.dtype)
+        controls = jnp.concatenate([controls, pad], axis=0)
+
+    kt, jit_ = cfg.kernel_type, cfg.jitter
+    collapse = cfg.case_config.u_collapse
 
     def u_and_qsqrt(params: GPSSMParams):
         if collapse:
@@ -133,7 +144,6 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
             return u_val, q_sqrt
         return params.u, None
 
-    @jax.jit
     def _collect(state: TrainState, key: jax.Array):
         params = state.params
         if trainer.has_sghmc:
@@ -202,8 +212,7 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
             xs, vs = jax.vmap(roll)(jax.random.split(key, num))
             return xs, vs, state
 
-    cache[cache_key] = _collect
-    return _collect(state, key)
+    return _collect
 
 
 def predict_summary(params: GPSSMParams, predict_x: jnp.ndarray,

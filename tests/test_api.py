@@ -83,3 +83,28 @@ def test_fit_ensemble_and_pooled_eval():
     assert (pv >= pv_ns - 1e-15).all()          # spread only widens
     y_all = np.concatenate([c[0] for c in chains])
     np.testing.assert_allclose(pv - pv_ns, y_all.var(axis=0), atol=1e-12)
+
+    # C4 training is DETERMINISTIC (full-batch Adam, no sampling in the
+    # objective): different seeds → bit-identical params.  This is the fact
+    # behind fit_ensemble's init_jitter option and PARITY §2e's framing.
+    import jax
+    for a, b in zip(jax.tree.leaves(models[0].params),
+                    jax.tree.leaves(models[1].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # init_jitter breaks the degeneracy; chain 0 keeps the exact start
+    jit_models = fit_ensemble(cfg, 2, dtype=jnp.float32, init_jitter=1e-3,
+                              num_iterations=40, chunk_size=40)
+    la = jax.tree.leaves(jit_models[0].params)
+    lb = jax.tree.leaves(jit_models[1].params)
+    assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(la, lb))
+    for a, b in zip(la, jax.tree.leaves(models[0].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # single-chain spread-mode eval: the 1x-train-cost calibration fix for
+    # deterministic cases — widens the variance, never touches the mean
+    m = models[0]
+    res_spread = m.evaluate(horizon=10, num_samples=8, spread=True)
+    assert np.isfinite(res_spread["nll"])
+    assert (res_spread["predict_y_var"] >= 0).all()

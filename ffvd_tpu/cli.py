@@ -65,6 +65,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "calibrated free-run uncertainty the single-chain "
                         "protocol can't give (PARITY.md §2d; beyond the "
                         "reference, which is single-chain only)")
+    p.add_argument("--eval_spread", action="store_true",
+                   help="keep the across-rollout spread of predictive means "
+                        "in the predictive variance (single-chain form of "
+                        "the §2e calibration fix; for deterministic cases "
+                        "C1/C4 this matches --n_ensemble pooling at 1x "
+                        "train cost)")
     p.add_argument("--rollout_qsqrt_dim0", action="store_true",
                    help="bug-compat: reproduce the reference's rollout "
                         "variance slip (dim 0's q(U) factor applied to every "
@@ -184,7 +190,7 @@ def main(argv=None):
           f"nll {float(nlls[0]):.4f} -> {float(nlls[-1]):.4f}")
 
     t1 = time.time()
-    res = model.evaluate()
+    res = model.evaluate(spread=args.eval_spread)
     eval_time = time.time() - t1
     print(f"RMSE: {res['rmse']:.6f}  NLL: {res['nll']:.6f}  "
           f"(eval {eval_time:.2f}s)")

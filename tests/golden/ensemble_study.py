@@ -21,8 +21,14 @@ dataset separate the mechanisms at matched rollout budget (40):
   <ds>_jit4             : 4 chains from init_jitter=1e-3 warm starts —
                           genuinely different optima; does real diversity
                           buy anything over rollout pooling?
+Deep × ensemble (`<ds>_deep2_ens4`): 4-seed ensembles of the 2-layer deep
+transition (model/deep.py) — deep training is doubly stochastic, so seeds
+give genuinely different chains; pooling should combine the deep RMSE gains
+(PARITY §2b-deep) with §2e's calibration.
+
 Usage: python tests/golden/ensemble_study.py [targets...]
-(targets: dataset names, or '<ds>_1chain_n40spread' / '<ds>_jit4')
+(targets: dataset names, or '<ds>_1chain_n40spread' / '<ds>_jit4' /
+'<ds>_deep2_ens4')
 NEVER run two TPU processes concurrently (single tunneled chip).
 """
 
@@ -70,6 +76,17 @@ def main():
             save(name, {"train_time_sec": round(time.time() - t0, 1),
                         "rmse": res["rmse"], "nll": res["nll"],
                         "nll_no_spread": res_ns["nll"]})
+            continue
+        if name.endswith("_deep2_ens4"):
+            ds = name[: -len("_deep2_ens4")]
+            cfg = FFVDConfig(dataset=ds, case=4, iterations=2000, seed=0,
+                             n_layers=2)
+            models = fit_ensemble(cfg, 4, dtype=jnp.float32)
+            res = ensemble_evaluate(models)
+            save(name, {"train_time_sec": round(time.time() - t0, 1),
+                        "rmse": res["rmse"], "nll": res["nll"],
+                        "nll_no_spread": res["nll_no_spread"],
+                        "per_chain": res["per_chain"]})
             continue
         if name.endswith("_jit4"):
             ds = name[: -len("_jit4")]

@@ -85,9 +85,10 @@ def ensemble():
 def test_ensemble_nll_calibrated_everywhere(ensemble, ref_e2e):
     """The §2e claim: 4-chain pooling with the cross-chain spread term puts
     every dataset's 30-step NLL in single digits-to-tens where the per-chain
-    protocol estimator (and the reference) sit in the thousands."""
+    protocol estimator (and the reference) sit in the thousands (worst row:
+    ballbeam_deep2_ens4 at 18.0, from 3125 without the spread term)."""
     for name, rec in ensemble.items():
-        assert rec["nll"] < 13, f"{name}: pooled NLL {rec['nll']}"
+        assert rec["nll"] < 20, f"{name}: pooled NLL {rec['nll']}"
         assert rec["nll_no_spread"] > 2 * rec["nll"] + 5, (
             f"{name}: spread term is what fixes calibration")
 
@@ -124,6 +125,23 @@ def test_ensemble_actuator_averaging_gain(ensemble):
              ("actuator", "actuator_1chain_n40spread", "actuator_jit4")]
     assert all(d < 0.3533 for d in draws)
     assert statistics.median(draws) < med10
+
+
+def test_deep_ensemble_composition(ensemble):
+    """PARITY §2e deep × ensemble table: deep-2 seeds are genuine chains
+    (doubly stochastic training), so pooling composes the deep RMSE gains
+    with the spread-term calibration.  Pins the three claims:
+    flutter's headline row (RMSE < 0.55 — 2.8x the reference's 1.56 — with
+    NEGATIVE pooled NLL), drive's pooled RMSE beating its BEST member
+    chain, and the §2b-deep actuator guard (deep-2 stays worse than the
+    shallow ensemble there — use shallow)."""
+    fl = ensemble["flutter_deep2_ens4"]
+    assert fl["rmse"] < 0.55 and fl["rmse"] < ensemble["flutter"]["rmse"]
+    assert fl["nll"] < 0.0
+    dr = ensemble["drive_deep2_ens4"]
+    assert dr["rmse"] < min(c["rmse"] for c in dr["per_chain"])
+    assert (ensemble["actuator_deep2_ens4"]["rmse"]
+            > 2 * ensemble["actuator_jit4"]["rmse"])
 
 
 def test_onechain_spread_matches_seed_pooling(ensemble):

@@ -1,0 +1,398 @@
+"""Double-single (two-float32) arithmetic for fp64-less TPUs.
+
+TPU hardware has no float64 (enabling x64 emulation crashes the runtime —
+TODO.md round-3 negative result), but the collapsed GP bound's gradient is
+measurably BIASED in fp32 near its optimum: extended training (3x the
+benchmark protocol) drifts to a looser posterior-variance floor, and
+fp64-islanding single ops does not fix it — only the whole
+gram -> precal -> collapsed-terms segment in high precision does
+(docs/DESIGN.md section 12, tests/golden/fp32_bias_probe.py /
+fp32_mixed_control.py).  This module supplies that high precision ON the
+TPU: every value is an unevaluated pair hi + lo of float32 with
+|lo| <= ulp(hi)/2, giving ~49 mantissa bits (fp64 has 52) at VPU speed.
+
+The algorithms are the classical error-free transformations (Dekker 1971,
+Knuth TAOCP 4.2.2, and the QD library of Hida/Li/Bailey) specialized to
+binary32 and written as branch-free JAX expressions:
+
+- ``two_sum`` needs only IEEE round-to-nearest adds (no magnitude order);
+- ``two_prod`` uses the Veltkamp split (factor 2**12 + 1 for binary32)
+  instead of FMA, which XLA does not expose as a primitive;
+- transcendentals (exp, log) use range reduction + Horner with
+  double-single coefficient TABLES (a plain float32 ``1/k!`` would cap
+  accuracy at 2**-24), and one Newton step off the fp32 seed for log;
+- reductions are pairwise (tree) sums of compensated terms, so the error
+  stays O(log n) in ulps rather than O(n);
+- ``matmul`` is elementwise ``two_prod`` + tree reduction, chunked over the
+  contraction axis to bound memory.  This is deliberate VPU work: an MXU
+  matmul rounds its fp32 accumulator every step, which is exactly the bias
+  being removed, so the MXU cannot help here (see DESIGN.md section 13).
+- ``chol_and_inv`` seeds with the fp32 Cholesky/triangular-inverse and
+  applies one double-single residual correction to the factor
+  (dL = L0 Phi(L0^-1 E L0^-T), E = A - L0 L0^T — the Cholesky differential
+  of Murray 2016 used as an iterative-refinement step) plus Newton steps
+  for the inverse: each step squares the relative error, so fp32's 2**-20
+  reaches the 2**-45 regime in two steps of pure (double-single) matmuls —
+  no sequential column sweeps anywhere.
+
+Everything is dtype-disciplined float32 internally and safe to call under
+``jax_enable_x64`` (the test suite's default).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SPLIT = 4097.0          # Veltkamp constant for binary32: 2**12 + 1
+
+
+class DS(NamedTuple):
+    """An unevaluated float32 sum hi + lo with |lo| <= ulp(hi)/2."""
+
+    hi: jnp.ndarray
+    lo: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.hi.shape
+
+    @property
+    def dtype(self):
+        return self.hi.dtype
+
+
+def lift(x) -> DS:
+    """Exact promotion of a float32 array (lo = 0)."""
+    x = jnp.asarray(x, jnp.float32)
+    return DS(x, jnp.zeros_like(x))
+
+
+def const(value: float, dtype=jnp.float32) -> DS:
+    """A double-single constant: hi = round(value), lo = round(value - hi),
+    both computed in float64 on host so the pair carries ~49 bits of the
+    true value."""
+    hi = np.float32(value)
+    lo = np.float32(np.float64(value) - np.float64(hi))
+    return DS(jnp.asarray(hi, dtype), jnp.asarray(lo, dtype))
+
+
+def to_f32(x: DS) -> jnp.ndarray:
+    return x.hi + x.lo
+
+
+def to_f64(x: DS) -> jnp.ndarray:
+    """Exact value as float64 (for tests / host-side use; needs x64)."""
+    return jnp.asarray(x.hi, jnp.float64) + jnp.asarray(x.lo, jnp.float64)
+
+
+def dsmap(fn, *xs: DS) -> DS:
+    """Apply an EXACT structural op (transpose, reshape, slice, pad, tril,
+    diagonal, broadcast, where with shared predicate...) to both components."""
+    return DS(fn(*[x.hi for x in xs]), fn(*[x.lo for x in xs]))
+
+
+# ---------------------------------------------------------------------------
+# Error-free transformations
+# ---------------------------------------------------------------------------
+
+def _two_sum(a, b):
+    """s + e == a + b exactly, s = fl(a + b).  6 flops, no branch."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _quick_two_sum(a, b):
+    """two_sum assuming |a| >= |b| (3 flops)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split(a):
+    """Veltkamp split: a == hi + lo with hi, lo 12-bit-mantissa exact."""
+    t = _SPLIT * a
+    hi = t - (t - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    """p + e == a * b exactly, p = fl(a * b) (Dekker, FMA-free)."""
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+# ---------------------------------------------------------------------------
+# Elementwise double-single arithmetic
+# ---------------------------------------------------------------------------
+
+def add(a: DS, b: DS) -> DS:
+    """IEEE-style accurate dd add (QD's ieee_add, ~20 flops)."""
+    s1, s2 = _two_sum(a.hi, b.hi)
+    t1, t2 = _two_sum(a.lo, b.lo)
+    s2 = s2 + t1
+    s1, s2 = _quick_two_sum(s1, s2)
+    s2 = s2 + t2
+    return DS(*_quick_two_sum(s1, s2))
+
+
+def neg(a: DS) -> DS:
+    return DS(-a.hi, -a.lo)
+
+
+def sub(a: DS, b: DS) -> DS:
+    return add(a, neg(b))
+
+
+def mul(a: DS, b: DS) -> DS:
+    p1, p2 = _two_prod(a.hi, b.hi)
+    p2 = p2 + (a.hi * b.lo + a.lo * b.hi)
+    return DS(*_quick_two_sum(p1, p2))
+
+
+def mul_f(a: DS, b) -> DS:
+    """DS x plain float32 array (b treated as exact)."""
+    p1, p2 = _two_prod(a.hi, b)
+    p2 = p2 + a.lo * b
+    return DS(*_quick_two_sum(p1, p2))
+
+
+def mul_pow2(a: DS, s) -> DS:
+    """Exact scaling by a power of two (array or scalar)."""
+    return DS(a.hi * s, a.lo * s)
+
+
+def div(a: DS, b: DS) -> DS:
+    """Accurate dd division: three quotient corrections (QD accurate_div)."""
+    q1 = a.hi / b.hi
+    r = sub(a, mul_f(b, q1))
+    q2 = r.hi / b.hi
+    r = sub(r, mul_f(b, q2))
+    q3 = r.hi / b.hi
+    s1, s2 = _quick_two_sum(q1, q2)
+    return add(DS(s1, s2), DS(q3, jnp.zeros_like(q3)))
+
+
+def reciprocal(b: DS) -> DS:
+    one = lift(jnp.ones_like(b.hi))
+    return div(one, b)
+
+
+def sqrt(a: DS) -> DS:
+    """dd sqrt: fp32 seed + one correction e = (a - s^2) / (2 s)."""
+    s = jnp.sqrt(a.hi)
+    p1, p2 = _two_prod(s, s)
+    r = sub(a, DS(p1, p2))
+    e = r.hi / (2.0 * s)
+    return DS(*_quick_two_sum(s, e))
+
+
+# --- exp / log -------------------------------------------------------------
+
+_LN2 = 0.6931471805599453094172321214581766
+
+
+def _pow2_exact(k):
+    """Exact float32 2**k for integer-valued k in [-126, 127], built from
+    the exponent bit field (jnp.exp2 is an approximation — measured rel
+    error ~2e-6 at k = 52 — which would poison the hi component)."""
+    ki = k.astype(jnp.int32)
+    return jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
+# exp Taylor over |r| <= ln2/2 = 0.3466: need 0.3466^n / n! < 2**-52 -> n=15.
+_EXP_ORDER = 16
+_INV_FACT = [1.0 / math.factorial(k) for k in range(_EXP_ORDER, 1, -1)]
+# fp32 exp under/overflow bounds (with headroom for the lo component).
+_EXP_MIN = -87.0
+_EXP_MAX = 88.0
+
+
+def exp(a: DS) -> DS:
+    """Double-single exp via 2**k * P(r), r = a - k ln2, Horner with a DS
+    coefficient table (a plain float32 1/k! would cap accuracy at 2**-24).
+    Values below the fp32 underflow threshold flush to an exact 0; above
+    the overflow threshold saturate to +inf in hi."""
+    dtype = a.dtype
+    k = jnp.round(a.hi * jnp.asarray(1.0 / _LN2, dtype))
+    ln2 = const(_LN2, dtype)
+    r = add(a, mul_f(neg(ln2), k))
+    p = const(_INV_FACT[0], dtype)        # scalar DS; broadcasts against r
+    for c in _INV_FACT[1:]:
+        p = add(const(c, dtype), mul(p, r))
+    # p = sum_{j>=0} r^j/(j+2)!  ->  exp(r) = 1 + r (1 + r p)
+    one = lift(jnp.ones_like(a.hi))
+    p = add(one, mul(r, add(one, mul(r, p))))
+    # 2**k scaling, exact per component; split k to stay in exponent range.
+    k1 = jnp.clip(k, -126.0, 127.0)
+    k2 = jnp.clip(k - k1, -126.0, 127.0)
+    s = _pow2_exact(k1)
+    s2 = _pow2_exact(k2)
+    out = DS((p.hi * s) * s2, (p.lo * s) * s2)
+    under = a.hi < _EXP_MIN
+    over = a.hi > _EXP_MAX
+    zero = jnp.zeros_like(out.hi)
+    out = DS(jnp.where(under, zero, out.hi), jnp.where(under, zero, out.lo))
+    inf = jnp.full_like(out.hi, jnp.inf)
+    return DS(jnp.where(over, inf, out.hi), jnp.where(over, zero, out.lo))
+
+
+def log(a: DS) -> DS:
+    """Double-single log: fp32 seed y0 = log(hi), then one Newton-style
+    correction log(a) = y0 + d - d^2/2 + O(d^3) with
+    d = a * exp(-y0) - 1 ~ 2**-24 (so the dropped d^3 term is ~2**-72)."""
+    y0 = jnp.log(a.hi)
+    w = mul(a, exp(DS(-y0, jnp.zeros_like(y0))))
+    d = sub(w, lift(jnp.ones_like(y0)))
+    corr = sub(d, mul_pow2(mul(d, d), 0.5))
+    return add(DS(y0, jnp.zeros_like(y0)), corr)
+
+
+# ---------------------------------------------------------------------------
+# Reductions and matmul
+# ---------------------------------------------------------------------------
+
+def dsum(x: DS, axis: int = -1) -> DS:
+    """Pairwise (tree) sum along one axis: log2(n) levels of dd adds."""
+    n = x.hi.shape[axis]
+    ax = axis % x.hi.ndim
+    # move the reduced axis last
+    if ax != x.hi.ndim - 1:
+        x = dsmap(lambda t: jnp.moveaxis(t, ax, -1), x)
+    size = x.hi.shape[-1]
+    p = 1 << max(0, (size - 1).bit_length())
+    if p != size:
+        pad = [(0, 0)] * (x.hi.ndim - 1) + [(0, p - size)]
+        x = dsmap(lambda t: jnp.pad(t, pad), x)
+    while p > 1:
+        half = p // 2
+        a = dsmap(lambda t: t[..., :half], x)
+        b = dsmap(lambda t: t[..., half:], x)
+        x = add(a, b)
+        p = half
+    del n
+    return dsmap(lambda t: t[..., 0], x)
+
+
+_MM_CHUNK_ELEMS = 1 << 22   # ~4M f32 per product-tensor component
+
+
+def matmul(a: DS, b: DS) -> DS:
+    """(..., m, k) @ (..., k, n) with per-element two_prod and pairwise
+    reduction over k, chunked so the (..., m, chunk, n) product tensor stays
+    ~16 MB/component.  All-VPU by design — see module docstring."""
+    m, k = a.hi.shape[-2], a.hi.shape[-1]
+    n = b.hi.shape[-1]
+    batch = int(np.prod(a.hi.shape[:-2], dtype=np.int64)) if a.hi.ndim > 2 else 1
+    per_slice = max(1, batch * m * n)
+    chunk = int(min(k, max(1, _MM_CHUNK_ELEMS // per_slice)))
+    acc: Optional[DS] = None
+    for c0 in range(0, k, chunk):
+        c1 = min(k, c0 + chunk)
+        pa = dsmap(lambda t: t[..., :, c0:c1, None], a)    # (..., m, kc, 1)
+        pb = dsmap(lambda t: t[..., None, c0:c1, :], b)    # (..., 1, kc, n)
+        part = dsum(mul(pa, pb), axis=-2)                  # (..., m, n)
+        acc = part if acc is None else add(acc, part)
+    return acc
+
+
+def matvec(a: DS, v: DS) -> DS:
+    """(..., m, k) @ (..., k) -> (..., m)."""
+    out = matmul(a, dsmap(lambda t: t[..., None], v))
+    return dsmap(lambda t: t[..., 0], out)
+
+
+def transpose(a: DS) -> DS:
+    return dsmap(lambda t: t.swapaxes(-1, -2), a)
+
+
+# ---------------------------------------------------------------------------
+# Refined Cholesky + triangular inverse
+# ---------------------------------------------------------------------------
+
+def _phi(x: DS) -> DS:
+    """tril with halved diagonal (the Cholesky differential's Phi).  Both
+    the tril mask and the 0.5 diagonal scaling are exact on components."""
+    m = x.hi.shape[-1]
+    w = jnp.tril(jnp.ones((m, m), x.dtype)) - 0.5 * jnp.eye(m, dtype=x.dtype)
+    return DS(x.hi * w, x.lo * w)
+
+
+def _eye_like(a: DS) -> DS:
+    m = a.hi.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=a.dtype), a.hi.shape)
+    return DS(eye, jnp.zeros_like(eye))
+
+
+def _newton_inv_step(x: DS, a: DS) -> DS:
+    """One Newton step x <- x + x (I - a x): squares the error |I - a x|."""
+    r = sub(_eye_like(a), matmul(a, x))
+    return add(x, matmul(x, r))
+
+
+def chol_and_inv(a: DS, refine: int = 2) -> Tuple[DS, DS]:
+    """(L, L^-1) of symmetric PD (..., M, M) in double-single.
+
+    Seed: fp32 Cholesky of hi (one escalated-jitter retry, relative to the
+    diagonal scale, mirroring ops/chol.psd_cholesky's ladder) and the fp32
+    triangular inverse.  Refinement:
+
+      1. two Newton steps for X ~ L0^-1        (err 2**-20 -> 2**-45+)
+      2. ``refine`` rounds of the first-order Cholesky correction
+         E = A - L L^T;  L += L Phi(X E X^T), each followed by one Newton
+         step of X against the corrected L.  One round squares the factor
+         error (2**-24 -> ~2**-45); the second matters for ill-conditioned
+         matrices (cond ~1e7 measured: residual 1e-9 after one round,
+         dd-floor after two — tests/test_ds64.py).
+
+    All steps are dd matmuls — no sequential triangular sweeps.  Any added
+    retry jitter is applied to the dd matrix too, so the refinement target
+    and the factor agree (the caller adds its base jitter itself)."""
+    from ffvd_tpu.ops.chol import _tri_inv
+
+    m = a.hi.shape[-1]
+    eye = jnp.eye(m, dtype=a.dtype)
+    l0 = jnp.linalg.cholesky(a.hi)
+
+    def _retry(operand):
+        a_in, l_bad = operand
+        diag_scale = jnp.mean(jnp.diagonal(a_in.hi, axis1=-2, axis2=-1),
+                              axis=-1)[..., None, None]
+        rel = 1e-4 * jnp.maximum(diag_scale, 1.0)
+        bad = jnp.any(~jnp.isfinite(l_bad), axis=(-2, -1), keepdims=True)
+        a_fix = DS(a_in.hi + jnp.where(bad, rel, 0.0) * eye, a_in.lo)
+        return a_fix, jnp.linalg.cholesky(a_fix.hi)
+
+    def _keep(operand):
+        return operand
+
+    a, l0 = jax.lax.cond(jnp.any(~jnp.isfinite(l0)), _retry, _keep, (a, l0))
+    x0 = _tri_inv(l0)
+
+    l1 = lift(l0)
+    x = lift(x0)
+    x = _newton_inv_step(x, l1)
+    x = _newton_inv_step(x, l1)
+    for _ in range(refine):
+        e = sub(a, matmul(l1, transpose(l1)))
+        g = matmul(matmul(x, e), transpose(x))
+        dl = matmul(l1, _phi(g))
+        l1 = add(l1, dl)
+        x = _newton_inv_step(x, l1)
+    # keep both strictly triangular (refinement noise in the zero triangle
+    # would otherwise leak into downstream matmuls)
+    tril = jnp.tril(jnp.ones((m, m), a.dtype))
+    l1 = DS(l1.hi * tril, l1.lo * tril)
+    x = DS(x.hi * tril, x.lo * tril)
+    return l1, x
+
+
+def diagonal(a: DS) -> DS:
+    return dsmap(lambda t: jnp.diagonal(t, axis1=-2, axis2=-1), a)

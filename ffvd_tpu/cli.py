@@ -102,6 +102,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    default="default")
     p.add_argument("--precision", choices=["fp32", "fp64"], default=None,
                    help="default: fp64 on cpu, fp32 on tpu")
+    p.add_argument("--collapse_precision", choices=["native", "ds64"],
+                   default="native",
+                   help="'ds64' evaluates the collapsed GP bound in "
+                        "double-single (two-float32) arithmetic — fp64-"
+                        "quality gradients for that segment on fp64-less "
+                        "TPUs (extended-training regimes; DESIGN.md §12)")
     p.add_argument("--results_dir", type=str, default="results")
     p.add_argument("--chunk_size", type=int, default=500)
     return p
@@ -154,6 +160,7 @@ def main(argv=None):
         pg_compat_noop=args.pg_compat_noop,
         pg_ancestor_trace=args.pg_ancestor_trace,
         deep_sample_hidden=args.deep_sample_hidden,
+        collapse_precision=args.collapse_precision,
         **_log_clip_kwargs(args.sghmc_log_clip))
 
     print(f"#### {dataset} | case C{cfg.case} | {platform} {precision} ####")

@@ -183,6 +183,15 @@ class FFVDConfig:
     # the injected noise can push the warm-started head off its basin
     # (actuator study, PARITY §2b-deep).
     deep_hidden_init_scale: float = 1.0
+    # Precision of the collapsed GP bound segment (gram → precal →
+    # collapsed terms).  "native": the params' own dtype (fp64 matches the
+    # reference, base_model.py:18; fp32 is the TPU production mode).
+    # "ds64": double-single (two-float32) arithmetic (ops/ds64.py) — fp64
+    # quality for the one segment whose fp32 gradient is measurably BIASED
+    # near the optimum (docs/DESIGN.md §12; only matters for extended
+    # training, ≳3× the reference protocol length).  Collapsed cases
+    # (C4/C5) only; ignored when the case keeps U uncollapsed.
+    collapse_precision: str = "native"
     file_id: int = 3                # warm-start file selector (FFVD_Main.py:363)
     seed: int = 0
 
@@ -195,6 +204,9 @@ class FFVDConfig:
             raise ValueError(f"invalid case {self.case}")
         if self.emission_noise not in ("auto", "diag", "full"):
             raise ValueError(f"invalid emission_noise {self.emission_noise!r}")
+        if self.collapse_precision not in ("native", "ds64"):
+            raise ValueError(
+                f"invalid collapse_precision {self.collapse_precision!r}")
         if self.minibatch_size is not None and self.minibatch_size < 1:
             raise ValueError("minibatch_size must be >= 1 or None")
         if self.n_layers < 1:

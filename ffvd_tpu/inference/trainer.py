@@ -180,7 +180,8 @@ class Trainer:
             negative_elbo,
             kernel_type=cfg.kernel_type, prior_type=cfg.prior_type,
             u_collapse=cfg.case_config.u_collapse, jitter=cfg.jitter,
-            emission_noise=cfg.emission_noise)
+            emission_noise=cfg.emission_noise,
+            collapse_precision=cfg.collapse_precision)
         self.grad_fn = jax.grad(self.nll_fn)
         self.value_grad_fn = jax.value_and_grad(self.nll_fn)
 
@@ -201,7 +202,8 @@ class Trainer:
                 window_n=self.window_n,
                 kernel_type=cfg.kernel_type, prior_type=cfg.prior_type,
                 u_collapse=cfg.case_config.u_collapse, jitter=cfg.jitter,
-                emission_noise=cfg.emission_noise)
+                emission_noise=cfg.emission_noise,
+                collapse_precision=cfg.collapse_precision)
             self._win_nll = win_nll
             self._win_grad = jax.grad(win_nll)
             self._win_value_grad = jax.value_and_grad(win_nll)

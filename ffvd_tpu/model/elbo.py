@@ -56,12 +56,21 @@ def elbo_terms(params: GPSSMParams, data: SSMData, *,
                u_collapse: bool = True,
                jitter: float = 1e-5,
                emission_noise: str = "auto",
+               collapse_precision: str = "native",
                key=None) -> Dict[str, jnp.ndarray]:
     """All nll terms.  Returns a dict whose 'nll' entry is the objective.
 
     ``key``: PRNG key for the doubly-stochastic deep transition (only read
     when ``params.hidden`` is non-empty; key=None propagates layer means —
-    see model/deep.py)."""
+    see model/deep.py).
+
+    ``collapse_precision``: "native" evaluates the collapsed GP segment in
+    the params' dtype; "ds64" in double-single two-float32 arithmetic
+    (model/ds_collapse.py) — the production fix for the measured fp32
+    gradient bias of that segment (docs/DESIGN.md §12).  Only the collapsed
+    branch is affected (the bias lives there); a deep model's hidden-layer
+    propagation stays native (its contribution is sampled noise, not the
+    biased deterministic segment)."""
     n = params.n_transitions
     mask = data.mask
     if mask is None:
@@ -102,13 +111,20 @@ def elbo_terms(params: GPSSMParams, data: SSMData, *,
 
     xc = _gp_inputs(params, data, kernel_type=kernel_type, jitter=jitter,
                     key=key)
-    pre = cond.kernel_precal(kernel_type, params.kernel, params.z, jitter)
 
     terms: Dict[str, jnp.ndarray] = {}
     if u_collapse:
-        term1, term2, trace = cond.collapsed_bound_terms(
-            kernel_type, params.kernel, pre, params.z, params.x, xc, q,
-            mask=row_w)
+        if collapse_precision == "ds64":
+            from ffvd_tpu.model.ds_collapse import ds_collapsed_terms
+            term1, term2, trace = ds_collapsed_terms(
+                kernel_type, params.kernel, params.z, params.x, xc,
+                params.log_q, jitter=jitter, mask=row_w)
+        else:
+            pre = cond.kernel_precal(kernel_type, params.kernel, params.z,
+                                     jitter)
+            term1, term2, trace = cond.collapsed_bound_terms(
+                kernel_type, params.kernel, pre, params.z, params.x, xc, q,
+                mask=row_w)
         later_term1 = term1 / y_n
         later_term2 = term2 / y_n
         nll_trace = trace / y_n
@@ -120,6 +136,7 @@ def elbo_terms(params: GPSSMParams, data: SSMData, *,
                + nll_trace + later_term1 + later_term2)
         terms.update(later_term1=later_term1, later_term2=later_term2)
     else:
+        pre = cond.kernel_precal(kernel_type, params.kernel, params.z, jitter)
         mean, var = cond.whitened_conditional(
             kernel_type, params.kernel, pre, params.z, params.u, xc)
         mean = mean + params.x[:n]        # identity mean function (:346)
@@ -152,10 +169,11 @@ def windowed_elbo_terms(params: GPSSMParams, data: SSMData,
                         u_collapse: bool = True,
                         jitter: float = 1e-5,
                         emission_noise: str = "auto",
+                        collapse_precision: str = "native",
                         key=None) -> Dict[str, jnp.ndarray]:
     """Minibatch (random time window) objective — the reference's
     batch_placeholder semantics made live.  ``key``: deep-transition
-    sampling key (see elbo_terms).
+    sampling key (see elbo_terms); ``collapse_precision``: see elbo_terms.
 
     The reference carries full minibatch plumbing (``batch_placeholder``
     base_model.py:16, batch slicing dgp_model.py:248-284, the
@@ -231,13 +249,21 @@ def windowed_elbo_terms(params: GPSSMParams, data: SSMData,
         xc = jnp.concatenate([h_win, ctrl_win], axis=1)
     else:
         xc = h_win
-    pre = cond.kernel_precal(kernel_type, params.kernel, params.z, jitter)
 
     terms: Dict[str, jnp.ndarray] = {}
     if u_collapse:
-        term1, term2, trace = cond.collapsed_bound_terms(
-            kernel_type, params.kernel, pre, params.z, x_win, xc, q,
-            mask=mask_win, gram_scale=gram_scale)
+        if collapse_precision == "ds64":
+            from ffvd_tpu.model.ds_collapse import ds_collapsed_terms
+            term1, term2, trace = ds_collapsed_terms(
+                kernel_type, params.kernel, params.z, x_win, xc,
+                params.log_q, jitter=jitter, mask=mask_win,
+                gram_scale=gram_scale)
+        else:
+            pre = cond.kernel_precal(kernel_type, params.kernel, params.z,
+                                     jitter)
+            term1, term2, trace = cond.collapsed_bound_terms(
+                kernel_type, params.kernel, pre, params.z, x_win, xc, q,
+                mask=mask_win, gram_scale=gram_scale)
         later_term1 = term1 / y_n
         later_term2 = term2 / y_n
         nll_trace = trace / y_n
@@ -248,6 +274,7 @@ def windowed_elbo_terms(params: GPSSMParams, data: SSMData,
                + nll_trace + later_term1 + later_term2)
         terms.update(later_term1=later_term1, later_term2=later_term2)
     else:
+        pre = cond.kernel_precal(kernel_type, params.kernel, params.z, jitter)
         mean, var = cond.whitened_conditional(
             kernel_type, params.kernel, pre, params.z, params.u, xc)
         mean = mean + x_win[:-1]

@@ -313,6 +313,11 @@ def transpose(a: DS) -> DS:
     return dsmap(lambda t: t.swapaxes(-1, -2), a)
 
 
+def _t(x: jnp.ndarray) -> jnp.ndarray:
+    """Plain-array matrix transpose (for fp32 probe math in the guard)."""
+    return x.swapaxes(-1, -2)
+
+
 # ---------------------------------------------------------------------------
 # Refined Cholesky + triangular inverse
 # ---------------------------------------------------------------------------
@@ -337,7 +342,8 @@ def _newton_inv_step(x: DS, a: DS) -> DS:
     return add(x, matmul(x, r))
 
 
-def chol_and_inv(a: DS, refine: int = 2) -> Tuple[DS, DS]:
+def chol_and_inv(a: DS, refine: int = 2,
+                 guard_threshold: float = 0.25) -> Tuple[DS, DS]:
     """(L, L^-1) of symmetric PD (..., M, M) in double-single.
 
     Seed: fp32 Cholesky of hi (one escalated-jitter retry, relative to the
@@ -354,38 +360,76 @@ def chol_and_inv(a: DS, refine: int = 2) -> Tuple[DS, DS]:
 
     All steps are dd matmuls — no sequential triangular sweeps.  Any added
     retry jitter is applied to the dd matrix too, so the refinement target
-    and the factor agree (the caller adds its base jitter itself)."""
+    and the factor agree (the caller adds its base jitter itself).
+
+    Seed-quality guard: the correction loop converges only when the seed's
+    first-order correction G0 = X0 (A - L0 L0^T) X0^T is a contraction
+    (||G0|| ~ eps_f32 * cond(A)); past that edge (cond within ~2x of
+    1/eps_f32) the iteration DIVERGES (measured on captured escaping-chain
+    states, catapult_state_*.npz: NaN gradients, forward worse than fp32).
+    NOTE ||I - L0 X0|| is NOT a usable metric — the triangular inverse is
+    self-consistently accurate against the COMPUTED factor regardless of
+    cond(A); the factor error E0 = A - L0 L0^T is what blows up.  Per
+    matrix in the batch we measure ||G0||_max in plain fp32 and, where it
+    exceeds ``guard_threshold``, run the refinement on a sanitized identity
+    stand-in and return the fp32 seed unchanged instead — the mode degrades
+    to exactly-fp32 at points fp32 itself can barely factor, rather than
+    amplifying them.  Sanitizing the refinement INPUT (not masking its
+    output) keeps the unselected branch finite, so gradients through the
+    ``where`` never see divergent values (the where-of-NaN autodiff trap).
+    For the same reason every probe factorization here is computed under
+    stop_gradient: a NaN PRIMAL inside cholesky's VJP yields NaN cotangents
+    even when the incoming cotangent is zero."""
     from ffvd_tpu.ops.chol import _tri_inv
 
     m = a.hi.shape[-1]
     eye = jnp.eye(m, dtype=a.dtype)
+
+    # Jitter escalation mirroring ops/chol.psd_cholesky's ladder exactly
+    # (first the reference's ABSOLUTE 1e-4 fallback, then RELATIVE to the
+    # diagonal scale), decided on stop-gradient probes so the failed
+    # factorizations never enter the autodiff graph.
+    ahi_ng = jax.lax.stop_gradient(a.hi)
+    diag_scale = jnp.mean(jnp.diagonal(ahi_ng, axis1=-2, axis2=-1),
+                          axis=-1)[..., None, None]
+    rel = 1e-4 * jnp.maximum(diag_scale, 1.0)
+    probe = jnp.linalg.cholesky(ahi_ng)
+    bad = jnp.any(~jnp.isfinite(probe), axis=(-2, -1), keepdims=True)
+    jit1 = jnp.where(bad, 1e-4, 0.0) * eye
+    probe2 = jnp.linalg.cholesky(ahi_ng + jit1)
+    bad2 = jnp.any(~jnp.isfinite(probe2), axis=(-2, -1), keepdims=True)
+    a = DS(a.hi + (jit1 + jnp.where(bad2, rel, 0.0) * eye), a.lo)
+
     l0 = jnp.linalg.cholesky(a.hi)
-
-    def _retry(operand):
-        a_in, l_bad = operand
-        diag_scale = jnp.mean(jnp.diagonal(a_in.hi, axis1=-2, axis2=-1),
-                              axis=-1)[..., None, None]
-        rel = 1e-4 * jnp.maximum(diag_scale, 1.0)
-        bad = jnp.any(~jnp.isfinite(l_bad), axis=(-2, -1), keepdims=True)
-        a_fix = DS(a_in.hi + jnp.where(bad, rel, 0.0) * eye, a_in.lo)
-        return a_fix, jnp.linalg.cholesky(a_fix.hi)
-
-    def _keep(operand):
-        return operand
-
-    a, l0 = jax.lax.cond(jnp.any(~jnp.isfinite(l0)), _retry, _keep, (a, l0))
     x0 = _tri_inv(l0)
 
-    l1 = lift(l0)
-    x = lift(x0)
+    # Refinability: ||G0||_max per matrix, plain fp32, values only (the
+    # guard is a discrete mode choice, not part of the smooth function).
+    l0_ng = jax.lax.stop_gradient(l0)
+    x0_ng = jax.lax.stop_gradient(x0)
+    e0 = jax.lax.stop_gradient(a.hi) - l0_ng @ _t(l0_ng)
+    g0 = x0_ng @ e0 @ _t(x0_ng)
+    rho0 = jnp.max(jnp.abs(g0), axis=(-2, -1))                # (...,)
+    finite = jnp.all(jnp.isfinite(x0_ng), axis=(-2, -1))
+    ok = (rho0 < guard_threshold) & finite                    # (...,)
+    okm = ok[..., None, None]
+
+    a_safe = DS(jnp.where(okm, a.hi, eye), jnp.where(okm, a.lo, 0.0))
+    l1 = lift(jnp.where(okm, l0, eye))
+    x = lift(jnp.where(okm, x0, eye))
     x = _newton_inv_step(x, l1)
     x = _newton_inv_step(x, l1)
     for _ in range(refine):
-        e = sub(a, matmul(l1, transpose(l1)))
+        e = sub(a_safe, matmul(l1, transpose(l1)))
         g = matmul(matmul(x, e), transpose(x))
         dl = matmul(l1, _phi(g))
         l1 = add(l1, dl)
         x = _newton_inv_step(x, l1)
+    # Unrefinable matrices: fall back to the fp32 seed (grads flow through
+    # the seed's own cholesky/tri_inv, i.e. exactly the fp32 semantics).
+    zero = jnp.zeros_like(l0)
+    l1 = DS(jnp.where(okm, l1.hi, l0), jnp.where(okm, l1.lo, zero))
+    x = DS(jnp.where(okm, x.hi, x0), jnp.where(okm, x.lo, zero))
     # keep both strictly triangular (refinement noise in the zero triangle
     # would otherwise leak into downstream matmuls)
     tril = jnp.tril(jnp.ones((m, m), a.dtype))

@@ -26,7 +26,15 @@ Control: the same variants at fp64 on CPU (FFVD_STALL_FP64CPU=1, tags
 ``*_fp64cpu``) discriminate "fp32 gradient bias" from "the longer protocol
 genuinely overfits the 30-step free-run at any precision".
 
-Usage: [FFVD_STALL_FP64CPU=1] python tests/golden/fp32_stall_study.py [datasets...]
+Round-3 addendum: FFVD_STALL_DS64=1 (tags ``*_ds64``) runs the long12k
+variant with collapse_precision="ds64" — the double-single TPU
+implementation of the "whole segment in high precision" design that
+fp32_mixed_control.py validated with fp64 on CPU.  Success = the ds64 run
+lands in the mixed/fp64 bracket (budget ~1.2-1.5, v_first ≤ ~3e-4) at TPU
+speed; train_time_sec gives the ds64-vs-native throughput cost directly.
+
+Usage: [FFVD_STALL_FP64CPU=1|FFVD_STALL_DS64=1]
+       python tests/golden/fp32_stall_study.py [datasets...]
 NEVER run two TPU processes concurrently (single tunneled chip).
 """
 
@@ -86,12 +94,14 @@ def main():
         outjson.write_text(json.dumps(results, indent=1))
         print(tag, rec, flush=True)
 
+    ds64 = os.environ.get("FFVD_STALL_DS64", "0") == "1"
     dtype = jnp.float64 if FP64CPU else jnp.float32
-    suffix = "_fp64cpu" if FP64CPU else ""
+    suffix = "_fp64cpu" if FP64CPU else ("_ds64" if ds64 else "")
 
     for ds in datasets:
         cfg = FFVDConfig(dataset=ds, case=4, iterations=2000, seed=1,
-                         rollout_qsqrt_dim0=True)
+                         rollout_qsqrt_dim0=True,
+                         collapse_precision="ds64" if ds64 else "native")
 
         tag = f"{ds}_long12k_s1{suffix}"
         if tag not in results:
@@ -100,6 +110,8 @@ def main():
             model.fit(12000)
             save(tag, _record(model, time.time() - t0))
 
+        if ds64:
+            continue      # the ds64 arm only needs the long12k discriminator
         for name, phases in (("polish", ((4000, 1.0), (4000, 0.1))),
                              ("polish2", ((4000, 1.0), (2000, 0.1),
                                           (2000, 0.01)))):

@@ -43,14 +43,19 @@ from ffvd_tpu.model.params import GPSSMParams
 
 def _rollout_one(kernel_type: str, jitter: float, kparams, z, u_val,
                  q_sqrt, q, x0, controls, key,
-                 hidden=()) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 hidden=(), ds64=False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One free-running trajectory of length T = controls.shape[0].
 
     x0: (D,), controls: (T, U) — returns (xs (T, D), var_tot (T, D)).
     ``hidden``: deep-transition layers (model/deep.py); per step the state
     is propagated through them with fresh inter-layer samples before the
-    head conditional."""
-    pre = kernel_precal(kernel_type, kparams, z, jitter)
+    head conditional.  ``ds64``: double-single-refined Kmm factorization
+    (one-time, outside the scan — see model/ds_collapse.ds_precal)."""
+    if ds64:
+        from ffvd_tpu.model.ds_collapse import ds_precal
+        pre = ds_precal(kernel_type, kparams, z, jitter)
+    else:
+        pre = kernel_precal(kernel_type, kparams, z, jitter)
     if hidden:
         from ffvd_tpu.model.deep import hidden_precals, propagate_step
         hpre = hidden_precals(kernel_type, jitter, hidden)
@@ -118,10 +123,16 @@ def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
 
     kt, jit_ = cfg.kernel_type, cfg.jitter
     collapse = cfg.case_config.u_collapse
+    # ds64 mode extends to eval: the collapsed q(U)'s H = F̃ᵀF̃/Q + I has
+    # cond ~ ‖F̃‖²/Q, and at the sharply trained points ds64 training
+    # reaches (Q ~ 1e-6) the fp32 q_sqrt = chol(H)⁻ᵀ inflates rollout
+    # variance by orders of magnitude (PARITY §2f caveat).
+    ds64 = cfg.collapse_precision == "ds64"
 
     def u_and_qsqrt(params: GPSSMParams):
         if collapse:
-            pre = kernel_precal(kt, params.kernel, params.z, jit_)
+            if not ds64:
+                pre = kernel_precal(kt, params.kernel, params.z, jit_)
             n = params.n_transitions
             h = params.x[:n]
             if params.hidden:
@@ -135,8 +146,14 @@ def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
                 xc = jnp.concatenate([h, trainer.data.control[:n]], axis=1)
             else:
                 xc = h
-            u_val, q_sqrt = collapsed_u_posterior(
-                kt, params.kernel, pre, params.z, params.x, xc, params.q)
+            if ds64:
+                from ffvd_tpu.model.ds_collapse import ds_collapsed_u_posterior
+                u_val, q_sqrt = ds_collapsed_u_posterior(
+                    kt, params.kernel, params.z, params.x, xc,
+                    params.log_q, jitter=jit_)
+            else:
+                u_val, q_sqrt = collapsed_u_posterior(
+                    kt, params.kernel, pre, params.z, params.x, xc, params.q)
             if cfg.rollout_qsqrt_dim0:
                 # reference slip compat (conditionals_multi_output.py:322):
                 # dim 0's q(U) factor applied to every dim's variance
@@ -192,7 +209,8 @@ def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
                 u_val, q_sqrt = u_and_qsqrt(p)
                 xs, vs = _rollout_one(kt, jit_, p.kernel, p.z,
                                       u_val, q_sqrt, p.q, p.x[-1],
-                                      controls, k_roll, hidden=p.hidden)
+                                      controls, k_roll, hidden=p.hidden,
+                                      ds64=ds64)
                 return (sub, sstate), (xs, vs)
 
             (sub, sstate), (xs, vs) = jax.lax.scan(
@@ -208,7 +226,7 @@ def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
             roll = functools.partial(_rollout_one, kt, jit_, params.kernel,
                                      params.z, u_val, q_sqrt, params.q,
                                      params.x[-1], controls,
-                                     hidden=params.hidden)
+                                     hidden=params.hidden, ds64=ds64)
             xs, vs = jax.vmap(roll)(jax.random.split(key, num))
             return xs, vs, state
 

@@ -108,6 +108,81 @@ _DISPATCH = {
 # The fused segment
 # ---------------------------------------------------------------------------
 
+def _ds_projection(kernel_type: str, kparams: KernelParams, z: jnp.ndarray,
+                   xc: jnp.ndarray, jitter: float):
+    """Shared precal + projection pipeline:
+    (Lm, Lm⁻¹, A = Lm⁻¹K(Z,X̃) (D,M,N), Kdiag (D,N)) — all DS."""
+    cross_fn, diag_fn = _DISPATCH[kernel_type]
+    z32, xc32 = _f32(z), _f32(xc)
+    m = z.shape[0]
+    eye = jnp.eye(m, dtype=jnp.float32)
+    kmm = cross_fn(kparams, z32, z32)                         # (D, M, M)
+    kmm = ds.add(kmm, ds.mul_f(ds.const(jitter), eye))
+    lm, lm_inv = ds.chol_and_inv(kmm)
+    knm = cross_fn(kparams, xc32, z32)                        # (D, N, M)
+    a = ds.matmul(lm_inv, ds.transpose(knm))                  # (D, M, N)
+    kdiag = diag_fn(kparams, xc32)                            # (D, N)
+    return lm, lm_inv, a, kdiag
+
+
+def ds_precal(kernel_type: str, kparams: KernelParams, z: jnp.ndarray,
+              jitter: float = 1e-5):
+    """Double-single-refined Kmm factorization, collapsed to a float32
+    ``conditionals.Precal`` — a drop-in for ``kernel_precal`` wherever the
+    downstream math is float32 anyway (e.g. the eval rollout's
+    conditionals), removing the fp32 factorization error without changing
+    any interface."""
+    from ffvd_tpu.model.conditionals import Precal
+    cross_fn, _ = _DISPATCH[kernel_type]
+    z32 = _f32(z)
+    eye = jnp.eye(z.shape[0], dtype=jnp.float32)
+    kmm = cross_fn(kparams, z32, z32)
+    kmm = ds.add(kmm, ds.mul_f(ds.const(jitter), eye))
+    lm, lm_inv = ds.chol_and_inv(kmm)
+    return Precal(lm=ds.to_f32(lm), lm_inv=ds.to_f32(lm_inv))
+
+
+def ds_collapsed_u_posterior(
+    kernel_type: str,
+    kparams: KernelParams,
+    z: jnp.ndarray,
+    x: jnp.ndarray,
+    xc: jnp.ndarray,
+    log_q: jnp.ndarray,
+    *,
+    jitter: float = 1e-5,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """q(U) of the collapsed bound in double-single, float32 out — the ds
+    twin of ``conditionals.collapsed_u_posterior`` (reference:
+    ``collapse_u_mean_after_kernel_precalculation``,
+    /root/reference/vfegpssm/conditionals_multi_output.py:206-227).
+
+    Exists because H = F̃ᵀF̃/Q + I has cond ~ ‖F̃‖²/Q: at a sharply trained
+    point (Q ~ 1e-6, the regime ds64 training reaches) the fp32 factor of H
+    is conditioning-garbage and q_sqrt = chol(H)⁻ᵀ inflates the rollout
+    variance by orders of magnitude (PARITY §2f caveat).
+
+    Returns (u_mean (M, D), q_sqrt (D, M, M) upper-triangular), float32."""
+    _, _, a, _ = _ds_projection(kernel_type, kparams, z, xc, jitter)
+    m = z.shape[0]
+    eye = jnp.eye(m, dtype=jnp.float32)
+    dx = ds.sub(ds.lift(_f32(x[1:])), ds.lift(_f32(x[:-1])))  # (N, D)
+    qinv = ds.exp(ds.neg(ds.lift(_f32(log_q))))               # (D,)
+
+    aat = ds.matmul(a, ds.transpose(a))                       # (D, M, M)
+    h = ds.add(ds.mul(aat, ds.dsmap(lambda t: t[:, None, None], qinv)),
+               ds.lift(jnp.broadcast_to(eye, aat.hi.shape)))
+    avec = ds.matmul(a, ds.dsmap(lambda t: t.T[..., None], dx))  # (D, M, 1)
+    avec = ds.mul(ds.dsmap(lambda t: t[..., 0], avec),
+                  ds.dsmap(lambda t: t[:, None], qinv))       # (D, M)
+
+    _, lh_inv = ds.chol_and_inv(h)
+    v = ds.matvec(lh_inv, avec)                               # L⁻¹ a
+    u_mean = ds.matvec(ds.transpose(lh_inv), v)               # H⁻¹a = L⁻ᵀ v
+    q_sqrt = ds.to_f32(ds.transpose(lh_inv))                  # chol(H)⁻ᵀ
+    return ds.to_f32(u_mean).T, q_sqrt
+
+
 def ds_collapsed_terms(
     kernel_type: str,
     kparams: KernelParams,
@@ -127,20 +202,12 @@ def ds_collapsed_terms(
     caller divides by Y_N).  Takes ``log_q`` instead of q so 1/Q_d is one
     double-single exp rather than an fp32-rounded reciprocal.
     """
-    cross_fn, diag_fn = _DISPATCH[kernel_type]
-    z32, x32, xc32 = _f32(z), _f32(x), _f32(xc)
+    x32 = _f32(x)
     m = z.shape[0]
     eye = jnp.eye(m, dtype=jnp.float32)
 
-    # --- precal: Kmm + jitter·I → (Lm, Lm⁻¹), double-single refined --------
-    kmm = cross_fn(kparams, z32, z32)                         # (D, M, M)
-    kmm = ds.add(kmm, ds.mul_f(ds.const(jitter), eye))
-    _, lm_inv = ds.chol_and_inv(kmm)                          # (D, M, M)
-
-    # --- projection A = Lm⁻¹ K(Z, X̃) → (D, M, N) ---------------------------
-    knm = cross_fn(kparams, xc32, z32)                        # (D, N, M)
-    a = ds.matmul(lm_inv, ds.transpose(knm))                  # (D, M, N)
-    kdiag = diag_fn(kparams, xc32)                            # (D, N)
+    # --- precal + projection A = Lm⁻¹ K(Z, X̃), double-single refined ------
+    _, _, a, kdiag = _ds_projection(kernel_type, kparams, z, xc, jitter)
     dx = ds.sub(ds.lift(x32[1:]), ds.lift(x32[:-1]))          # (N, D)
     if mask is not None:
         m32 = _f32(mask)

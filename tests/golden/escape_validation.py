@@ -10,11 +10,18 @@ any leaf sits on the clip (saturation = fix failed).  Done-criterion
 (VERDICT): flutter RMSE within the fp64 bracket (≲1.0; fp64 anchors ours
 0.672 / ref 0.768), no clip saturation; ballbeam escape seed gone.
 
-Usage: python tests/golden/escape_validation.py [datasets...]
+Round-3 addendum: FFVD_ESCAPE_DS64=1 (tags ``*_ds64``) reruns with
+--collapse_precision ds64 — C5's bound is collapsed, so the sampler's 21
+hyper-gradient evaluations per iteration get the double-single segment
+(DESIGN §13).  Question: does the unbiased bound narrow the residual gap
+to the fp64 anchors (flutter median 1.19 fp32 vs 0.672/0.768 fp64)?
+
+Usage: [FFVD_ESCAPE_DS64=1] python tests/golden/escape_validation.py [datasets...]
 NEVER run two TPU processes concurrently (single tunneled chip).
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -37,13 +44,16 @@ def main():
     outjson = Path(__file__).parent / "escape_validation.json"
     results = json.loads(outjson.read_text()) if outjson.exists() else {}
 
+    ds64 = os.environ.get("FFVD_ESCAPE_DS64", "0") == "1"
+    suffix = "_ds64" if ds64 else ""
     for ds, seeds in jobs.items():
         for seed in seeds:
-            tag = f"{ds}_C5_s{seed}"
+            tag = f"{ds}_C5_s{seed}{suffix}"
             if tag in results:
                 print(f"skip {tag}", flush=True)
                 continue
-            cfg = FFVDConfig(dataset=ds, case=5, iterations=2000, seed=seed)
+            cfg = FFVDConfig(dataset=ds, case=5, iterations=2000, seed=seed,
+                             collapse_precision="ds64" if ds64 else "native")
             model = FFVDModel(cfg, dtype=jnp.float32)
             t0 = time.time()
             model.fit()

@@ -269,3 +269,62 @@ class TestElboWiring:
     # the fused chunk in reasonable time (module docstring).  It runs on
     # the TPU backend via tests/golden/fp32_stall_study.py (FFVD_STALL_DS64
     # =1), whose results are pinned by tests/test_study_artifacts.py.
+
+
+class TestEvalSideCollapse:
+    """ds64 q(U) posterior + refined precal (eval path, PARITY §2f caveat)."""
+
+    def test_u_posterior_matches_fp64(self):
+        from ffvd_tpu.model.conditionals import (collapsed_u_posterior,
+                                                 kernel_precal)
+        from ffvd_tpu.model.ds_collapse import ds_collapsed_u_posterior
+        kp, z, x, xc, logq = _point(9)
+        pre = kernel_precal("SquaredExponential", kp, z)
+        um64, qs64 = collapsed_u_posterior("SquaredExponential", kp, pre, z,
+                                           x, xc, jnp.exp(logq))
+        um, qs = ds_collapsed_u_posterior("SquaredExponential", kp, z, x, xc,
+                                          logq)
+        assert um.shape == um64.shape and qs.shape == qs64.shape
+        np.testing.assert_allclose(np.asarray(um), np.asarray(um64),
+                                   rtol=0, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(qs), np.asarray(qs64),
+                                   rtol=0, atol=2e-6)
+
+    def test_u_posterior_sharp_q_beats_fp32(self):
+        """The motivating regime: Q ~ 1e-6 makes cond(H) ~ ||F||²/Q; the
+        fp32 q_sqrt factor degrades while ds64 stays at fp64."""
+        from ffvd_tpu.model.conditionals import (collapsed_u_posterior,
+                                                 kernel_precal)
+        from ffvd_tpu.model.ds_collapse import ds_collapsed_u_posterior
+        kp, z, x, xc, _ = _point(10)
+        logq = jnp.full((D,), -13.0)          # Q ≈ 2.3e-6
+        pre64 = kernel_precal("SquaredExponential", kp, z)
+        um64, qs64 = collapsed_u_posterior("SquaredExponential", kp, pre64,
+                                           z, x, xc, jnp.exp(logq))
+        kp32 = KernelParams(jnp.asarray(kp.log_variance, jnp.float32),
+                            jnp.asarray(kp.log_lengthscales, jnp.float32))
+        f32 = lambda t: jnp.asarray(t, jnp.float32)
+        pre32 = kernel_precal("SquaredExponential", kp32, f32(z))
+        um32, qs32 = collapsed_u_posterior("SquaredExponential", kp32, pre32,
+                                           f32(z), f32(x), f32(xc),
+                                           jnp.exp(f32(logq)))
+        um, qs = ds_collapsed_u_posterior("SquaredExponential", kp, z, x, xc,
+                                          logq)
+        err32 = np.abs(np.asarray(qs32, np.float64) - np.asarray(qs64)).max()
+        errds = np.abs(np.asarray(qs, np.float64) - np.asarray(qs64)).max()
+        assert errds < 0.1 * err32, (errds, err32)
+        merr32 = np.abs(np.asarray(um32, np.float64) - np.asarray(um64)).max()
+        merrds = np.abs(np.asarray(um, np.float64) - np.asarray(um64)).max()
+        assert merrds < 0.5 * merr32, (merrds, merr32)
+
+    def test_ds_precal_matches_fp64(self):
+        from ffvd_tpu.model.conditionals import kernel_precal
+        from ffvd_tpu.model.ds_collapse import ds_precal
+        kp, z, _, _, _ = _point(11)
+        p64 = kernel_precal("SquaredExponential", kp, z)
+        p = ds_precal("SquaredExponential", kp, z)
+        np.testing.assert_allclose(np.asarray(p.lm), np.asarray(p64.lm),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(p.lm_inv),
+                                   np.asarray(p64.lm_inv),
+                                   rtol=0, atol=1e-5)

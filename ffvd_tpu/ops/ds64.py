@@ -23,10 +23,13 @@ binary32 and written as branch-free JAX expressions:
   accuracy at 2**-24), and one Newton step off the fp32 seed for log;
 - reductions are pairwise (tree) sums of compensated terms, so the error
   stays O(log n) in ulps rather than O(n);
-- ``matmul`` is elementwise ``two_prod`` + tree reduction, chunked over the
-  contraction axis to bound memory.  This is deliberate VPU work: an MXU
-  matmul rounds its fp32 accumulator every step, which is exactly the bias
-  being removed, so the MXU cannot help here (see DESIGN.md section 13).
+- ``matmul`` has two backends: ``matmul_vpu`` (elementwise ``two_prod`` +
+  tree reduction, chunked over the contraction axis) and the Ozaki
+  digit-splitting scheme of ``ops/ds64_mxu.py`` — a NAIVE MXU matmul
+  rounds its fp32 accumulator every step (exactly the bias being removed),
+  but splitting operands into bf16 integer digits makes the accumulation
+  error-free and puts the MACs back on the matrix unit (see the ds64_mxu
+  docstring).
 - ``chol_and_inv`` seeds with the fp32 Cholesky/triangular-inverse and
   applies one double-single residual correction to the factor
   (dL = L0 Phi(L0^-1 E L0^-T), E = A - L0 L0^T — the Cholesky differential
@@ -283,8 +286,39 @@ def dsum(x: DS, axis: int = -1) -> DS:
 
 _MM_CHUNK_ELEMS = 1 << 22   # ~4M f32 per product-tensor component
 
+# Which matmul implementation ds.matmul routes to: "vpu" (two_prod + tree
+# reduction, this module), "mxu" (Ozaki digit splitting on the matrix unit,
+# ops/ds64_mxu.py — same ~49-bit accuracy, 3.1x end-to-end on TPU), or
+# "auto" (mxu on TPU backends, vpu elsewhere).  Env: FFVD_DS64_MATMUL.
+_MATMUL_IMPL = "auto"
+
+
+def set_matmul_impl(impl: str) -> None:
+    """Select the dd-matmul backend: 'auto' | 'vpu' | 'mxu'."""
+    global _MATMUL_IMPL
+    if impl not in ("auto", "vpu", "mxu"):
+        raise ValueError(f"invalid ds64 matmul impl {impl!r}")
+    _MATMUL_IMPL = impl
+
+
+def _resolve_matmul_impl() -> str:
+    import os
+    impl = os.environ.get("FFVD_DS64_MATMUL", _MATMUL_IMPL)
+    if impl == "auto":
+        return "mxu" if jax.default_backend() == "tpu" else "vpu"
+    return impl
+
 
 def matmul(a: DS, b: DS) -> DS:
+    """(..., m, k) @ (..., k, n) in double-single; routes to the VPU
+    (two_prod + compensated tree) or MXU (Ozaki digit-split) backend."""
+    if _resolve_matmul_impl() == "mxu":
+        from ffvd_tpu.ops import ds64_mxu
+        return ds64_mxu.matmul(a, b)
+    return matmul_vpu(a, b)
+
+
+def matmul_vpu(a: DS, b: DS) -> DS:
     """(..., m, k) @ (..., k, n) with per-element two_prod and pairwise
     reduction over k, chunked so the (..., m, chunk, n) product tensor stays
     ~16 MB/component.  All-VPU by design — see module docstring."""

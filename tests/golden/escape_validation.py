@@ -34,7 +34,7 @@ import numpy as np
 
 
 def main():
-    jobs = {"flutter": (0, 1, 2), "ballbeam": (0, 1, 2, 3, 4)}
+    jobs = {"flutter": (0, 1, 2, 3, 4), "ballbeam": (0, 1, 2, 3, 4)}
     if len(sys.argv) > 1:
         jobs = {d: jobs[d] for d in sys.argv[1:]}
 

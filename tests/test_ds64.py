@@ -139,19 +139,72 @@ class TestReductions:
         fp32 = float(np.sum(x, dtype=np.float32))
         assert abs(fp32 - truth) > abs(got - truth)
 
+    @pytest.mark.parametrize("impl", ["vpu", "mxu"])
     @pytest.mark.parametrize("shape", [((2, 5, 7), (2, 7, 3)),
                                        ((4, 100, 37), (4, 37, 50)),
                                        ((3, 129, 129), (3, 129, 8))])
-    def test_matmul(self, shape):
+    def test_matmul(self, shape, impl):
+        from ffvd_tpu.ops import ds64_mxu
+        mm = ds.matmul_vpu if impl == "vpu" else ds64_mxu.matmul
         sa, sb = shape
         a, b = rand(sa, 1.3), rand(sb, 0.8)
-        got = np.asarray(ds.to_f64(ds.matmul(ds.lift(a), ds.lift(b))))
+        got = np.asarray(ds.to_f64(mm(ds.lift(a), ds.lift(b))))
         truth = lift64(a) @ lift64(b)
         # floor the denominator at 1e-3 of the matrix scale: entries that
         # cancel to ~0 legitimately carry the sum's absolute dd error
         scale = np.abs(truth).max()
         assert np.max(np.abs(got - truth)
                       / np.maximum(np.abs(truth), 1e-3 * scale)) < 1e-11
+
+    def test_mxu_matmul_dd_inputs_and_scales(self):
+        # full double-single inputs (lo carries bits 25..52) and operands
+        # spanning 36 decades: the digit scheme's row/column power-of-two
+        # prescaling must keep full accuracy
+        from ffvd_tpu.ops import ds64_mxu
+        rng = np.random.default_rng(21)
+        a64 = rng.standard_normal((2, 50, 60))
+        b64 = rng.standard_normal((2, 60, 40))
+
+        def to_ds(x):
+            hi = x.astype(np.float32)
+            lo = (x - lift64(hi)).astype(np.float32)
+            return ds.DS(jnp.asarray(hi), jnp.asarray(lo))
+
+        got = np.asarray(ds.to_f64(ds64_mxu.matmul(to_ds(a64), to_ds(b64))))
+        truth = a64 @ b64
+        scale = np.abs(truth).max()
+        assert np.max(np.abs(got - truth)
+                      / np.maximum(np.abs(truth), 1e-3 * scale)) < 1e-11
+
+        a = (rng.standard_normal((1, 32, 32)) * 1e18).astype(np.float32)
+        b = (rng.standard_normal((1, 32, 32)) * 1e-18).astype(np.float32)
+        got = np.asarray(ds.to_f64(ds64_mxu.matmul(ds.lift(a), ds.lift(b))))
+        truth = lift64(a) @ lift64(b)
+        scale = np.abs(truth).max()
+        assert np.max(np.abs(got - truth)
+                      / np.maximum(np.abs(truth), 1e-3 * scale)) < 1e-11
+
+        # all-zero rows exercise the _exp_of zero mapping
+        z = ds.lift(np.zeros((1, 8, 8), np.float32))
+        out = ds64_mxu.matmul(z, z)
+        np.testing.assert_array_equal(np.asarray(out.hi), 0.0)
+
+    def test_mxu_grad_matches_vpu(self):
+        # both backends must expose the same effective gradient: the
+        # value-level derivative evaluated in fp32 (DESIGN.md section 13)
+        from ffvd_tpu.ops import ds64_mxu
+        rng = np.random.default_rng(5)
+        a = jnp.asarray(rng.standard_normal((2, 20, 30)), jnp.float32)
+        b = ds.lift(rng.standard_normal((2, 30, 10)).astype(np.float32))
+
+        def loss(mm, ahi):
+            out = mm(ds.DS(ahi, jnp.zeros_like(ahi)), b)
+            return jnp.sum(ds.to_f32(out) ** 2)
+
+        g_mxu = jax.grad(lambda x: loss(ds64_mxu.matmul, x))(a)
+        g_vpu = jax.grad(lambda x: loss(ds.matmul_vpu, x))(a)
+        rel = jnp.max(jnp.abs(g_mxu - g_vpu)) / jnp.max(jnp.abs(g_vpu))
+        assert float(rel) < 1e-5
 
     def test_matvec(self):
         a, v = rand((4, 20, 30)), rand((4, 30))

@@ -116,10 +116,15 @@ def _ds_projection(kernel_type: str, kparams: KernelParams, z: jnp.ndarray,
     z32, xc32 = _f32(z), _f32(xc)
     m = z.shape[0]
     eye = jnp.eye(m, dtype=jnp.float32)
-    kmm = cross_fn(kparams, z32, z32)                         # (D, M, M)
+    # One fused cross-gram over [Z; X̃] rows instead of separate K(Z,Z) and
+    # K(X̃,Z) calls — bitwise identical per element (SE is elementwise in
+    # the row; the MXU dd matmul scales per row), half the dispatch chains
+    # and one dd exp over the combined (D, M+N, M) block.
+    big = cross_fn(kparams, jnp.concatenate([z32, xc32], axis=0), z32)
+    kmm = ds.dsmap(lambda t: t[:, :m], big)                   # (D, M, M)
+    knm = ds.dsmap(lambda t: t[:, m:], big)                   # (D, N, M)
     kmm = ds.add(kmm, ds.mul_f(ds.const(jitter), eye))
     lm, lm_inv = ds.chol_and_inv(kmm)
-    knm = cross_fn(kparams, xc32, z32)                        # (D, N, M)
     a = ds.matmul(lm_inv, ds.transpose(knm))                  # (D, M, N)
     kdiag = diag_fn(kparams, xc32)                            # (D, N)
     return lm, lm_inv, a, kdiag

@@ -211,24 +211,40 @@ def _pow2_exact(k):
     ki = k.astype(jnp.int32)
     return jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
 # exp Taylor over |r| <= ln2/2 = 0.3466: need 0.3466^n / n! < 2**-52 -> n=15.
+# The Horner chain is SPLIT: a partial value V sitting at coefficient slot
+# 1/k! is multiplied by r**k before it reaches the result, so evaluating the
+# high-order tail (1/16!..1/10!) in plain fp32 contributes error
+# ~ few * 2**-24 * (1/10!) * r**10 ~ 2**-58 — far below the double-single
+# floor (2**-49); only the last slots (1/9!..1/2!) need dd arithmetic.
+# (At the 1/8! slot the same bound is ~2**-51.5 — too close to the floor.)
 _EXP_ORDER = 16
-_INV_FACT = [1.0 / math.factorial(k) for k in range(_EXP_ORDER, 1, -1)]
+_EXP_SPLIT = 9            # highest coefficient 1/k! evaluated in dd
+_INV_FACT_F32 = np.float32(
+    [1.0 / math.factorial(k) for k in range(_EXP_ORDER, _EXP_SPLIT, -1)])
+_INV_FACT = [1.0 / math.factorial(k) for k in range(_EXP_SPLIT, 1, -1)]
 # fp32 exp under/overflow bounds (with headroom for the lo component).
 _EXP_MIN = -87.0
 _EXP_MAX = 88.0
 
 
 def exp(a: DS) -> DS:
-    """Double-single exp via 2**k * P(r), r = a - k ln2, Horner with a DS
-    coefficient table (a plain float32 1/k! would cap accuracy at 2**-24).
+    """Double-single exp via 2**k * P(r), r = a - k ln2, split Horner:
+    the high-order Taylor tail in plain fp32 (error contribution ~2**-58,
+    see the _EXP_SPLIT note), the low-order slots with a DS coefficient
+    table (a plain float32 1/k! there would cap accuracy at 2**-24).
     Values below the fp32 underflow threshold flush to an exact 0; above
     the overflow threshold saturate to +inf in hi."""
     dtype = a.dtype
     k = jnp.round(a.hi * jnp.asarray(1.0 / _LN2, dtype))
     ln2 = const(_LN2, dtype)
     r = add(a, mul_f(neg(ln2), k))
-    p = const(_INV_FACT[0], dtype)        # scalar DS; broadcasts against r
-    for c in _INV_FACT[1:]:
+    # fp32 tail: 1/16!..1/10! (dropping r.lo here perturbs slots ~1e-8 of
+    # the final value by 2**-25 relative — negligible at this depth).
+    p32 = jnp.asarray(_INV_FACT_F32[0], dtype)
+    for c in _INV_FACT_F32[1:]:
+        p32 = jnp.asarray(c, dtype) + p32 * r.hi
+    p = DS(p32, jnp.zeros_like(p32))
+    for c in _INV_FACT:
         p = add(const(c, dtype), mul(p, r))
     # p = sum_{j>=0} r^j/(j+2)!  ->  exp(r) = 1 + r (1 + r p)
     one = lift(jnp.ones_like(a.hi))

@@ -28,7 +28,9 @@ give genuinely different chains; pooling should combine the deep RMSE gains
 
 Usage: python tests/golden/ensemble_study.py [targets...]
 (targets: dataset names, or '<ds>_1chain_n40spread' / '<ds>_jit4' /
-'<ds>_deep2_ens4')
+'<ds>_deep2_ens4'; append '_ds64' to a plain/<ds>_C5 target to train the
+chains with --collapse_precision ds64 — the round-3 combination probe for
+the flutter C5 fp32 residual)
 NEVER run two TPU processes concurrently (single tunneled chip).
 """
 
@@ -99,9 +101,15 @@ def main():
                         "nll_no_spread": res["nll_no_spread"],
                         "per_chain": res["per_chain"]})
             continue
-        case = 5 if name.endswith("_C5") else 4
-        ds = name[:-3] if name.endswith("_C5") else name
-        cfg = FFVDConfig(dataset=ds, case=case, iterations=2000, seed=0)
+        ds64 = name.endswith("_ds64")
+        if ds64:
+            name_base = name[: -len("_ds64")]
+        else:
+            name_base = name
+        case = 5 if name_base.endswith("_C5") else 4
+        ds = name_base[:-3] if name_base.endswith("_C5") else name_base
+        cfg = FFVDConfig(dataset=ds, case=case, iterations=2000, seed=0,
+                         collapse_precision="ds64" if ds64 else "native")
         models = fit_ensemble(cfg, 4, dtype=jnp.float32)
         res = ensemble_evaluate(models)
         save(name, {"train_time_sec": round(time.time() - t0, 1),

@@ -132,6 +132,8 @@ def main(argv=None):
     import jax
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    from ffvd_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     platform = jax.devices()[0].platform
     precision = args.precision or ("fp64" if platform == "cpu" else "fp32")
     if precision == "fp64":

@@ -125,9 +125,10 @@ def multichain_moments(mct, state, test_len: int, key,
     k = (test_len, num, spacing)
     if k not in cache:
         cache[k] = jax.jit(jax.vmap(
-            build_collect(mct.base, test_len, num, spacing)))
+            build_collect(mct.base, test_len, num, spacing),
+            in_axes=(0, 0, None)))
     keys = jax.random.split(key, mct.n_chains)
-    xs, vs, new_state = cache[k](state, keys)   # (C, S, T, D) ×2
+    xs, vs, new_state = cache[k](state, keys, mct.base.data)  # (C,S,T,D) ×2
 
     p = state.params                            # chain-stacked
     full_r = use_full_r(cfg.emission_noise, p.c.shape[-1])

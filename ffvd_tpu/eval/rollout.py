@@ -38,7 +38,7 @@ from ffvd_tpu.inference.trainer import (SGHMC, SubsetOps, Trainer,
 from ffvd_tpu.model.conditionals import (collapsed_u_posterior, kernel_precal,
                                          whitened_conditional)
 from ffvd_tpu.model.likelihoods import emission_mean
-from ffvd_tpu.model.params import GPSSMParams
+from ffvd_tpu.model.params import GPSSMParams, SSMData
 
 
 def _rollout_one(kernel_type: str, jitter: float, kparams, z, u_val,
@@ -102,25 +102,21 @@ def collect_posterior(trainer: Trainer, state: TrainState, test_len: int,
         cache = trainer._collect_cache = {}
     cache_key = (test_len, num, spacing)
     if cache_key in cache:
-        return cache[cache_key](state, key)
+        return cache[cache_key](state, key, trainer.data)
 
     _collect = jax.jit(build_collect(trainer, test_len, num, spacing))
     cache[cache_key] = _collect
-    return _collect(state, key)
+    return _collect(state, key, trainer.data)
 
 
 def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
-    """The un-jitted (state, key) → (xs, vs, state) collection closure —
-    exposed so MultiChainTrainer states can vmap it over a chain axis
-    (eval/ensemble.multichain_moments); collect_posterior jits it."""
+    """The un-jitted (state, key, data) → (xs, vs, state) collection
+    closure — exposed so MultiChainTrainer states can vmap it over a chain
+    axis (eval/ensemble.multichain_moments, in_axes=(0, 0, None));
+    collect_posterior jits it.  ``data`` is an argument rather than a
+    closure constant for the same reasons as Trainer._run_chunk_impl
+    (no d2h during lowering; dataset-independent compile-cache entries)."""
     cfg = trainer.cfg
-    n_train = trainer.data.y.shape[0]
-    controls = trainer.data.control[n_train:n_train + test_len]
-    if controls.shape[0] < test_len:  # control shorter than test (shouldn't happen)
-        pad = jnp.zeros((test_len - controls.shape[0], controls.shape[1]),
-                        controls.dtype)
-        controls = jnp.concatenate([controls, pad], axis=0)
-
     kt, jit_ = cfg.kernel_type, cfg.jitter
     collapse = cfg.case_config.u_collapse
     # ds64 mode extends to eval: the collapsed q(U)'s H = F̃ᵀF̃/Q + I has
@@ -129,7 +125,7 @@ def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
     # variance by orders of magnitude (PARITY §2f caveat).
     ds64 = cfg.collapse_precision == "ds64"
 
-    def u_and_qsqrt(params: GPSSMParams):
+    def u_and_qsqrt(params: GPSSMParams, data: SSMData):
         if collapse:
             if not ds64:
                 pre = kernel_precal(kt, params.kernel, params.z, jit_)
@@ -141,9 +137,9 @@ def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
                 # summary — see model/deep.py)
                 from ffvd_tpu.model.deep import propagate_hidden
                 h = propagate_hidden(kt, jit_, params.hidden, h,
-                                     trainer.data.control[:n], None)
-            if controls.shape[1] > 0:
-                xc = jnp.concatenate([h, trainer.data.control[:n]], axis=1)
+                                     data.control[:n], None)
+            if data.control.shape[1] > 0:
+                xc = jnp.concatenate([h, data.control[:n]], axis=1)
             else:
                 xc = h
             if ds64:
@@ -161,7 +157,13 @@ def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
             return u_val, q_sqrt
         return params.u, None
 
-    def _collect(state: TrainState, key: jax.Array):
+    def _collect(state: TrainState, key: jax.Array, data: SSMData):
+        n_train = data.y.shape[0]
+        controls = data.control[n_train:n_train + test_len]
+        if controls.shape[0] < test_len:  # control shorter than test
+            pad = jnp.zeros((test_len - controls.shape[0],
+                             controls.shape[1]), controls.dtype)
+            controls = jnp.concatenate([controls, pad], axis=0)
         params = state.params
         if trainer.has_sghmc:
             # Sequential chain: thin `spacing` sample-only steps per sample.
@@ -176,11 +178,11 @@ def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
             if trainer.stochastic:
                 sub_grad = jax.grad(
                     lambda sub, kp: trainer.nll_fn(ops.merge(sub, params),
-                                                   trainer.data, key=kp))
+                                                   data, key=kp))
             else:
                 sub_grad = jax.grad(
                     lambda sub, kp: trainer.nll_fn(ops.merge(sub, params),
-                                                   trainer.data))
+                                                   data))
             x_n = params.x.shape[0]
 
             def per_sample(carry, k):
@@ -206,7 +208,7 @@ def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
                 (sub, sstate), _ = jax.lax.scan(
                     thin, (sub, sstate), jax.random.split(k_thin, spacing))
                 p = ops.merge(sub, params)
-                u_val, q_sqrt = u_and_qsqrt(p)
+                u_val, q_sqrt = u_and_qsqrt(p, data)
                 xs, vs = _rollout_one(kt, jit_, p.kernel, p.z,
                                       u_val, q_sqrt, p.q, p.x[-1],
                                       controls, k_roll, hidden=p.hidden,
@@ -222,7 +224,7 @@ def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
             return xs, vs, new_state
         else:
             # iid samples: one U posterior, vmapped rollouts.
-            u_val, q_sqrt = u_and_qsqrt(params)
+            u_val, q_sqrt = u_and_qsqrt(params, data)
             roll = functools.partial(_rollout_one, kt, jit_, params.kernel,
                                      params.z, u_val, q_sqrt, params.q,
                                      params.x[-1], controls,

@@ -158,6 +158,11 @@ class Trainer:
 
     def __init__(self, cfg: FFVDConfig, data: SSMData,
                  pg_fn: Optional[Callable] = None):
+        # Every training/eval path constructs a Trainer before its first
+        # compile, so this is the chokepoint for the persistent XLA compile
+        # cache (utils/compile_cache.py; FFVD_COMPILE_CACHE=0 to opt out).
+        from ffvd_tpu.utils.compile_cache import enable_compilation_cache
+        enable_compilation_cache()
         self.cfg = cfg
         self.data = data
         self.labels = label_tree(cfg)
@@ -413,8 +418,17 @@ class Trainer:
 
     # -- fused multi-iteration run ----------------------------------------
 
-    def _run_chunk_impl(self, state: TrainState, keys: jax.Array):
-        return jax.lax.scan(lambda s, k: self.outer_step(s, k, self.data),
+    def _run_chunk_impl(self, state: TrainState, keys: jax.Array,
+                        data: SSMData):
+        # `data` is a jit ARGUMENT, not a closure constant: closure-captured
+        # device arrays are embedded into the HLO as literals, which (a)
+        # d2h-fetches them during lowering — through the tunneled axon TPU
+        # backend the first device-to-host transfer of a process stalls
+        # 1-8 min — and (b) bakes the dataset into the program, so the
+        # persistent compile cache (utils/compile_cache.py) would miss on
+        # every new dataset/warm start.  As an argument, one compiled
+        # program serves every same-shape dataset.
+        return jax.lax.scan(lambda s, k: self.outer_step(s, k, data),
                             state, keys)
 
     def run(self, state: TrainState, num_iterations: int, key: jax.Array,
@@ -431,7 +445,7 @@ class Trainer:
             n = min(chunk_size, num_iterations - done)
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, n)
-            state, nlls = self._run_chunk(state, keys)
+            state, nlls = self._run_chunk(state, keys, self.data)
             if nan_check and not bool(jnp.all(jnp.isfinite(nlls))):
                 bad = int(jnp.argmax(~jnp.isfinite(nlls)))
                 diag = {

@@ -132,10 +132,14 @@ class MultiChainTrainer:
         self.cfg = cfg
         self.n_chains = n_chains
         self.mesh = mesh
-        self._vstep = jax.vmap(self.base.outer_step)
+        # Chains map over state/keys; the dataset is shared (in_axes=None)
+        # and passed as a jit argument — not a closure constant — so the
+        # compiled program is dataset-independent (see Trainer._run_chunk_impl).
+        self._vstep = jax.vmap(self.base.outer_step, in_axes=(0, 0, None))
 
-        def run_chunk(state, keys):  # keys: (T, C)
-            return jax.lax.scan(self._vstep, state, keys)
+        def run_chunk(state, keys, data):  # keys: (T, C)
+            return jax.lax.scan(lambda s, kk: self._vstep(s, kk, data),
+                                state, keys)
 
         self._run_chunk = jax.jit(run_chunk)
 
@@ -169,7 +173,7 @@ class MultiChainTrainer:
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, n * self.n_chains)
             keys = keys.reshape(n, self.n_chains)
-            state, nlls = self._run_chunk(state, keys)
+            state, nlls = self._run_chunk(state, keys, self.base.data)
             _check_finite(nlls, done, "chain", nan_check)
             traces.append(nlls)
             done += n

@@ -97,7 +97,7 @@ def run_with_checkpoints(trainer, state, num_iterations: int, key: jax.Array,
         n = min(every, chunk_size, num_iterations - done)
         chunk_key = jax.random.fold_in(key, done)
         keys = jax.random.split(chunk_key, n)
-        state, nlls = trainer._run_chunk(state, keys)
+        state, nlls = trainer._run_chunk(state, keys, trainer.data)
         traces.append(nlls)
         done += n
         manager.save(done, state)

@@ -67,10 +67,10 @@ def main():
     keys = jax.random.split(jax.random.key(3), 100)
     # warm up with the SAME chunk length — a different scan length would
     # recompile inside the timed region
-    state, _ = tr._run_chunk(state, keys)
+    state, _ = tr._run_chunk(state, keys, tr.data)
     jax.block_until_ready(state.params.x)
     t0 = time.perf_counter()
-    state, nlls = tr._run_chunk(state, keys)
+    state, nlls = tr._run_chunk(state, keys, tr.data)
     jax.block_until_ready(nlls)
     rec["train_step_M512_ms"] = round((time.perf_counter() - t0) / 100 * 1e3, 4)
     print("train_step_M512_ms:", rec["train_step_M512_ms"], flush=True)

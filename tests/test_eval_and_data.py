@@ -291,3 +291,39 @@ def test_split_rhat():
 
     assert split_rhat(np.ones((100, 3))) == 1.0  # frozen chain
     assert np.isnan(split_rhat(np.ones((2, 3))))  # too short
+
+
+def test_compile_cache_idempotent_and_opt_out(tmp_path, monkeypatch):
+    """utils.compile_cache: first call configures jax, repeats are no-ops,
+    FFVD_COMPILE_CACHE=0 disables, and an existing user config is
+    respected (never overwritten)."""
+    import jax
+
+    from ffvd_tpu.utils import compile_cache
+
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        # opt-out wins over everything
+        monkeypatch.setattr(compile_cache, "_state", None)
+        monkeypatch.setenv("FFVD_COMPILE_CACHE", "0")
+        assert compile_cache.enable_compilation_cache() is None
+
+        # fresh enable lands in the env-pointed directory
+        monkeypatch.setattr(compile_cache, "_state", None)
+        monkeypatch.setenv("FFVD_COMPILE_CACHE", "1")
+        monkeypatch.setenv("FFVD_COMPILE_CACHE_DIR", str(tmp_path / "xla"))
+        jax.config.update("jax_compilation_cache_dir", None)
+        got = compile_cache.enable_compilation_cache()
+        assert got == str(tmp_path / "xla")
+        assert jax.config.jax_compilation_cache_dir == got
+        # idempotent: a second call (different env) changes nothing
+        monkeypatch.setenv("FFVD_COMPILE_CACHE_DIR", str(tmp_path / "other"))
+        assert compile_cache.enable_compilation_cache() == got
+
+        # a dir the user configured directly is respected as-is
+        monkeypatch.setattr(compile_cache, "_state", None)
+        jax.config.update("jax_compilation_cache_dir", str(tmp_path / "user"))
+        assert compile_cache.enable_compilation_cache() == str(tmp_path / "user")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior)
+        compile_cache._state = None

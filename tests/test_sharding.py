@@ -29,7 +29,7 @@ def test_multichain_matches_single_chain():
     s_state = single.init_state(params)
     key = jax.random.key(9)
     keys = jax.random.split(key, 3)
-    s_state, s_nlls = single._run_chunk(s_state, keys)
+    s_state, s_nlls = single._run_chunk(s_state, keys, single.data)
 
     mesh = make_mesh(8, x_dim=2)
     n_chains = mesh.shape["dp"]                   # chain axis must divide dp
@@ -37,7 +37,7 @@ def test_multichain_matches_single_chain():
     stacked = mct.stack_params(params)           # identical chains
     m_state = mct.init_state(stacked)
     chain_keys = jnp.stack([keys] * n_chains, axis=1)  # same keys per chain
-    m_state, m_nlls = mct._run_chunk(m_state, chain_keys)
+    m_state, m_nlls = mct._run_chunk(m_state, chain_keys, mct.base.data)
 
     np.testing.assert_allclose(np.asarray(m_nlls[:, 0]), np.asarray(s_nlls),
                                rtol=1e-9)

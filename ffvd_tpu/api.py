@@ -209,16 +209,31 @@ class FFVDModel:
             noise = z * self.params.rchol_diag
         return np.asarray(ys + noise)
 
-    def save_results(self, path, case: Optional[str] = None):
-        if hasattr(self, "_last_rollout"):
+    def save_results(self, path, case: Optional[str] = None,
+                     predictions: Optional[tuple] = None):
+        """Write the reference-schema results npz.  ``predictions``
+        overrides (predict_y, predict_y_var) — used by the ensemble CLI
+        path to store pooled mixture predictions alongside this chain's
+        parameters."""
+        if predictions is not None:
+            py, pv = predictions
+        elif hasattr(self, "_last_rollout"):
             # reuse the rollout from the last predict/evaluate so the saved
             # predictions are the ones that were reported
             py, pv, _ = predict_summary(self.params, *self._last_rollout,
                                     emission_noise=self.cfg.emission_noise)
         else:
             py, pv = self.predict()
+        fit_y = getattr(self, "_last_fit_y", None)
+        if fit_y is None:
+            # no predict() yet on this model (e.g. the ensemble CLI path
+            # pools rollouts via chain_moments): the training fit is a pure
+            # function of the current params (predict_summary:257)
+            from ffvd_tpu.eval.rollout import emission_mean
+            fit_y = emission_mean(self.params.x[1:], self.params.c,
+                                  self.params.d)
         return save_results_npz(
-            path, params=self.params, fit_y=self._last_fit_y,
+            path, params=self.params, fit_y=fit_y,
             predict_y=py, predict_y_var=pv,
             y_test=self.dataset.y_test, y_train=self.dataset.y_train,
             y_train_std=self.dataset.y_train_std,

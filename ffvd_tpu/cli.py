@@ -87,10 +87,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "its warm start like the reference's C6 actually "
                         "does")
     p.add_argument("--sghmc_log_clip", type=str, default=None,
-                   help="clip sampled log-parameters to +-this (default: "
+                   help="upper clip for sampled log-parameters (default: "
                         "config's 12.0 reflecting barrier (fp32 sampler "
                         "escape region — see FFVDConfig.sghmc_log_clip); "
                         "'none' or 0 disables clipping entirely")
+    p.add_argument("--sghmc_log_clip_lower", type=str, default=None,
+                   help="lower clip for sampled log-parameters (default: "
+                        "config's -30.0 exp-overflow guard — the escape "
+                        "cliff is one-sided; 'none' mirrors -sghmc_log_clip)")
     p.add_argument("--deep_sample_hidden", action="store_true",
                    help="apply the case's SGHMC partition to hidden deep "
                         "layers too (default: hidden layers are MAP — see "
@@ -113,15 +117,32 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
-def _log_clip_kwargs(value):
-    """Parse --sghmc_log_clip: unset → config default (12.0); 'none'/'off'/0
-    → clipping disabled (sghmc_log_clip=None); otherwise a float bound."""
-    if value is None:
-        return {}
-    if value.strip().lower() in ("none", "off"):
-        return {"sghmc_log_clip": None}
-    clip = float(value)
-    return {"sghmc_log_clip": None if clip == 0.0 else clip}
+def _log_clip_kwargs(value, lower=None):
+    """Parse --sghmc_log_clip[_lower]: unset → config defaults (12.0 /
+    -30.0); 'none'/'off'/0 → disabled (upper: no clipping at all; lower:
+    mirror -upper); otherwise float bounds."""
+    kw = {}
+    if value is not None:
+        if value.strip().lower() in ("none", "off") or float(value) == 0.0:
+            kw["sghmc_log_clip"] = None
+        else:
+            kw["sghmc_log_clip"] = float(value)
+    if lower is not None:
+        if lower.strip().lower() in ("none", "off"):
+            kw["sghmc_log_clip_lower"] = None
+        else:
+            kw["sghmc_log_clip_lower"] = float(lower)
+    return kw
+
+
+def _results_path(args, dataset, cfg):
+    """Results-npz path, reference naming scheme (base_model.py:512-517)."""
+    fileid = datetime.now().strftime("%Y_%m_%d_%H_%M_%S_%f") \
+        + f"file_id{args.file_id}"
+    case = cfg.case_config.name
+    return os.path.join(
+        args.results_dir, dataset,
+        f"{case}VFE_result_{dataset}_{fileid}.npz_results.npz")
 
 
 def main(argv=None):
@@ -163,7 +184,7 @@ def main(argv=None):
         pg_ancestor_trace=args.pg_ancestor_trace,
         deep_sample_hidden=args.deep_sample_hidden,
         collapse_precision=args.collapse_precision,
-        **_log_clip_kwargs(args.sghmc_log_clip))
+        **_log_clip_kwargs(args.sghmc_log_clip, args.sghmc_log_clip_lower))
 
     print(f"#### {dataset} | case C{cfg.case} | {platform} {precision} ####")
 
@@ -171,6 +192,9 @@ def main(argv=None):
 
     if args.n_ensemble > 1:
         from ffvd_tpu.eval import ensemble_evaluate, fit_ensemble
+        if args.eval_spread:
+            print("note: --eval_spread is subsumed by ensemble pooling "
+                  "(the mixture's cross-chain spread term is always on)")
         t0 = time.time()
         models = fit_ensemble(cfg, args.n_ensemble, dtype=dtype,
                               chunk_size=args.chunk_size)
@@ -183,6 +207,13 @@ def main(argv=None):
               f"RMSE: {res['rmse']:.6f}  NLL: {res['nll']:.6f}  "
               f"(no-spread NLL {res['nll_no_spread']:.6f}; "
               f"trained {train_time:.2f}s)")
+        # Same results-npz contract as the single-chain path: pooled mixture
+        # predictions, chain 0's parameters/ELBO trace.
+        out = _results_path(args, dataset, cfg)
+        models[0].save_results(
+            out, case=cfg.case_config.name,
+            predictions=(res["predict_y"], res["predict_y_var"]))
+        print(f"saved {out}")
         return {"rmse": res["rmse"], "nll": res["nll"],
                 "per_chain": res["per_chain"], "train_time": train_time,
                 "final_elbo": -float(models[0].nll_trace[-1])}
@@ -204,13 +235,8 @@ def main(argv=None):
     print(f"RMSE: {res['rmse']:.6f}  NLL: {res['nll']:.6f}  "
           f"(eval {eval_time:.2f}s)")
 
-    fileid = datetime.now().strftime("%Y_%m_%d_%H_%M_%S_%f") \
-        + f"file_id{args.file_id}"
-    case = cfg.case_config.name
-    out = os.path.join(
-        args.results_dir, dataset,
-        f"{case}VFE_result_{dataset}_{fileid}.npz_results.npz")
-    model.save_results(out, case=case)
+    out = _results_path(args, dataset, cfg)
+    model.save_results(out, case=cfg.case_config.name)
     print(f"saved {out}")
     return {"rmse": res["rmse"], "nll": res["nll"],
             "train_time": train_time, "final_elbo": -float(nlls[-1])}

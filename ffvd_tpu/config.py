@@ -91,6 +91,17 @@ class FFVDConfig:
     #    keeps fp32 chains on the recoverable plateau.  Round 2's ±30
     #    default only guarded exp() overflow — too far outside the cliff.
     sghmc_log_clip: Optional[float] = 12.0
+    # 1b) LOWER bound for the same clip.  The measured cliff is one-sided
+    #    (positive log-variance, +21-29); mirroring the +12 barrier at −12
+    #    would forbid Q values extended training legitimately reaches
+    #    (ds64 runs settle at Q ~ 1e-6, log_q ≈ −13.8 — PARITY §2f) and
+    #    silently move warm starts with Q_sqrt < e^−6.  −30 is round 2's
+    #    exp-overflow-only guard: e^−30 ≈ 9e−14 is below any useful
+    #    hyperparameter, and e^{+2·30} stays finite in fp32 wherever a
+    #    sampled log-parameter appears under exp(±·).  None mirrors the
+    #    upper bound (symmetric ±sghmc_log_clip).  No clipping at all when
+    #    sghmc_log_clip is None.
+    sghmc_log_clip_lower: Optional[float] = -30.0
     # 2) per-element gradient magnitude clipped to sghmc_grad_clip and
     #    non-finite gradients zeroed before the SGHMC update — an inf grad
     #    would make ε²·M⁻¹·∇ = 0·inf = NaN (grad² overflows fp32 first at
@@ -211,12 +222,30 @@ class FFVDConfig:
             raise ValueError("minibatch_size must be >= 1 or None")
         if self.n_layers < 1:
             raise ValueError("n_layers must be >= 1")
+        if (self.sghmc_log_clip is not None
+                and self.sghmc_log_clip_lower is not None
+                and self.sghmc_log_clip_lower >= self.sghmc_log_clip):
+            raise ValueError(
+                "sghmc_log_clip_lower must be < sghmc_log_clip "
+                f"({self.sghmc_log_clip_lower} >= {self.sghmc_log_clip})")
         if self.pg_compat_noop and self.pg_ancestor_trace:
             raise ValueError(
                 "pg_compat_noop and pg_ancestor_trace are mutually exclusive: "
                 "compat-noop makes the PG update an identity (the reference's "
                 "dead assign), so an ancestor-traced CSMC would silently "
                 "never run")
+
+    @property
+    def log_clip_bounds(self) -> Optional[tuple]:
+        """(lower, upper) bounds for SGHMC-sampled log-parameters, or None
+        when clipping is disabled (sghmc_log_clip=None).  The lower bound
+        defaults to sghmc_log_clip_lower (asymmetric — see the field docs);
+        a None lower mirrors the upper bound."""
+        if self.sghmc_log_clip is None:
+            return None
+        lo = (-self.sghmc_log_clip if self.sghmc_log_clip_lower is None
+              else self.sghmc_log_clip_lower)
+        return (lo, self.sghmc_log_clip)
 
     @property
     def case_config(self) -> CaseConfig:

@@ -130,7 +130,12 @@ def multichain_moments(mct, state, test_len: int, key,
     keys = jax.random.split(key, mct.n_chains)
     xs, vs, new_state = cache[k](state, keys, mct.base.data)  # (C,S,T,D) ×2
 
-    p = state.params                            # chain-stacked
+    # POST-thinning params (matches chain_moments, which reads model.params
+    # after assigning the returned state): for sampled-likelihood cases the
+    # thinning moves C/d/log_rchol, and the rollouts in xs/vs were produced
+    # under the evolving chain — pushing them through the stale input-state
+    # emission would mix pre/post-thin quantities.
+    p = new_state.params                        # chain-stacked
     full_r = use_full_r(cfg.emission_noise, p.c.shape[-1])
     chains = []
     for i in range(mct.n_chains):

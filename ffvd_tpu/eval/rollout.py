@@ -203,7 +203,7 @@ def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
                                          burn_in=False,
                                          p_clip=cfg.sghmc_p_clip,
                                          spike_clip=cfg.sghmc_spike_clip)
-                    return (ops.clip_log(sb2, cfg.sghmc_log_clip), s2), None
+                    return (ops.clip_log(sb2, cfg.log_clip_bounds), s2), None
 
                 (sub, sstate), _ = jax.lax.scan(
                     thin, (sub, sstate), jax.random.split(k_thin, spacing))

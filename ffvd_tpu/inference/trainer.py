@@ -85,14 +85,27 @@ def sanitize_grads(grads: Pytree, clip) -> Pytree:
     return jax.tree.map(fix, grads)
 
 
-def clip_log_leaves(tree: Pytree, clip) -> Pytree:
-    """Clip log-parameterized leaves (path contains 'log') to ±clip — the
-    fp32 overflow guard for SGHMC-sampled hyperparameters (see
-    FFVDConfig.sghmc_log_clip).  No-op when clip is None."""
+def _log_clip_bounds(clip):
+    """Normalize a clip spec: None → None, scalar c → (−c, c), or an
+    explicit (lower, upper) pair (FFVDConfig.log_clip_bounds)."""
     if clip is None:
+        return None
+    if isinstance(clip, tuple):
+        return clip
+    return (-clip, clip)
+
+
+def clip_log_leaves(tree: Pytree, clip) -> Pytree:
+    """Clip log-parameterized leaves (path contains 'log') to the given
+    bounds — the fp32 overflow guard for SGHMC-sampled hyperparameters (see
+    FFVDConfig.sghmc_log_clip / sghmc_log_clip_lower).  ``clip`` is a
+    scalar (symmetric) or (lower, upper).  No-op when clip is None."""
+    bounds = _log_clip_bounds(clip)
+    if bounds is None:
         return tree
+    lo, hi = bounds
     return jax.tree_util.tree_map_with_path(
-        lambda kp, leaf: (jnp.clip(leaf, -clip, clip)
+        lambda kp, leaf: (jnp.clip(leaf, lo, hi)
                           if "log" in jax.tree_util.keystr(kp) else leaf),
         tree)
 
@@ -136,9 +149,11 @@ class SubsetOps:
 
     def clip_log(self, sub: list, clip) -> list:
         """`clip_log_leaves` for a subset list (leaf paths are precomputed)."""
-        if clip is None:
+        bounds = _log_clip_bounds(clip)
+        if bounds is None:
             return sub
-        return [jnp.clip(v, -clip, clip) if lg else v
+        lo, hi = bounds
+        return [jnp.clip(v, lo, hi) if lg else v
                 for lg, v in zip(self.is_log, sub)]
 
 
@@ -318,7 +333,7 @@ class Trainer:
         x_n = params.x.shape[0]
         flags = jnp.asarray([True] + [True, False] * 10)
         keys = jax.random.split(key, flags.shape[0])
-        clip = self.cfg.sghmc_log_clip
+        clip = self.cfg.log_clip_bounds
         gclip = self.cfg.sghmc_grad_clip
 
         ops = SubsetOps(self.labels, params)

@@ -233,8 +233,23 @@ def exp(a: DS) -> DS:
     see the _EXP_SPLIT note), the low-order slots with a DS coefficient
     table (a plain float32 1/k! there would cap accuracy at 2**-24).
     Values below the fp32 underflow threshold flush to an exact 0; above
-    the overflow threshold saturate to +inf in hi."""
+    the overflow threshold saturate to +inf in hi.
+
+    Out-of-range arguments are clamped BEFORE the polynomial (the masked
+    branch computes on the clamp value, not the raw input): for |a| far
+    outside [_EXP_MIN, _EXP_MAX] the fp32 rounding of k*ln2 makes r
+    arbitrarily large, the Horner chain overflows to inf, and the final
+    where would then pair a zero cotangent with an inf primal in the mul
+    VJPs — NaN gradients (the where-of-NaN autodiff trap; same rule as
+    chol_and_inv's sanitized refinement input).  Clamping gives the
+    saturated regions an exp(clamp)-scale gradient instead — finite, and
+    ~0 on the underflow side where it matters."""
     dtype = a.dtype
+    under = a.hi < _EXP_MIN
+    over = a.hi > _EXP_MAX
+    oob = under | over
+    a = DS(jnp.clip(a.hi, _EXP_MIN, _EXP_MAX),
+           jnp.where(oob, jnp.zeros_like(a.lo), a.lo))
     k = jnp.round(a.hi * jnp.asarray(1.0 / _LN2, dtype))
     ln2 = const(_LN2, dtype)
     r = add(a, mul_f(neg(ln2), k))
@@ -255,8 +270,6 @@ def exp(a: DS) -> DS:
     s = _pow2_exact(k1)
     s2 = _pow2_exact(k2)
     out = DS((p.hi * s) * s2, (p.lo * s) * s2)
-    under = a.hi < _EXP_MIN
-    over = a.hi > _EXP_MAX
     zero = jnp.zeros_like(out.hi)
     out = DS(jnp.where(under, zero, out.hi), jnp.where(under, zero, out.lo))
     inf = jnp.full_like(out.hi, jnp.inf)
@@ -319,7 +332,16 @@ def set_matmul_impl(impl: str) -> None:
 
 def _resolve_matmul_impl() -> str:
     import os
-    impl = os.environ.get("FFVD_DS64_MATMUL", _MATMUL_IMPL)
+    impl = _MATMUL_IMPL
+    if impl == "auto":
+        # The env var fills in the default only; an explicit
+        # set_matmul_impl() call always wins over inherited shell state.
+        env = os.environ.get("FFVD_DS64_MATMUL")
+        if env is not None:
+            if env not in ("auto", "vpu", "mxu"):
+                raise ValueError(
+                    f"FFVD_DS64_MATMUL={env!r}: expected auto|vpu|mxu")
+            impl = env
     if impl == "auto":
         return "mxu" if jax.default_backend() == "tpu" else "vpu"
     return impl
@@ -446,7 +468,14 @@ def chol_and_inv(a: DS, refine: int = 2,
     probe = jnp.linalg.cholesky(ahi_ng)
     bad = jnp.any(~jnp.isfinite(probe), axis=(-2, -1), keepdims=True)
     jit1 = jnp.where(bad, 1e-4, 0.0) * eye
-    probe2 = jnp.linalg.cholesky(ahi_ng + jit1)
+    # Second probe only when the first failed anywhere in the batch: in the
+    # all-healthy hot path (every ds64 nll evaluates this twice) the cond
+    # skips a whole batched (D,M,M) factorization; jit1 is zero there so
+    # reusing `probe` is exact.
+    probe2 = jax.lax.cond(
+        jnp.any(bad),
+        lambda: jnp.linalg.cholesky(ahi_ng + jit1),
+        lambda: probe)
     bad2 = jnp.any(~jnp.isfinite(probe2), axis=(-2, -1), keepdims=True)
     a = DS(a.hi + (jit1 + jnp.where(bad2, rel, 0.0) * eye), a.lo)
 

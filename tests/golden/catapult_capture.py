@@ -74,7 +74,7 @@ def main():
                   "theta_kls": sub[1], "grad_kls": g[1],
                   "g2_kls": ss.g2[1], "p_kls": ss2.p[1],
                   "nll": trainer.nll_fn(ops.merge(sub, params), trainer.data)}
-            return (ops.clip_log(sub2, cfg.sghmc_log_clip), ss2), tr
+            return (ops.clip_log(sub2, cfg.log_clip_bounds), ss2), tr
 
         _, traces = jax.lax.scan(
             body, (ops.split(params), ops.split_state(state.sghmc)),

@@ -62,14 +62,15 @@ def main():
             p = model.params
             lv = np.asarray(p.kernel.log_variance, np.float64)
             ls = np.asarray(p.kernel.log_lengthscales, np.float64)
-            clip = cfg.sghmc_log_clip
+            lo, hi = cfg.log_clip_bounds
+            sat = any(bool(a.max() >= hi - 1e-3 or a.min() <= lo + 1e-3)
+                      for a in (lv, ls))
             rec = {
                 "rmse": ev["rmse"], "nll": ev["nll"],
                 "train_time_sec": round(t1 - t0, 1),
                 "log_var": lv.tolist(),
                 "log_ls_minmax": [float(ls.min()), float(ls.max())],
-                "clip_saturated": bool(np.abs(lv).max() >= clip - 1e-3
-                                       or np.abs(ls).max() >= clip - 1e-3),
+                "clip_saturated": sat,
             }
             results[tag] = rec
             outjson.write_text(json.dumps(results, indent=1))

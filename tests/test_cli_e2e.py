@@ -42,9 +42,33 @@ def test_cli_c2_sghmc_eval_thinning():
     assert np.isfinite(out["rmse"])
 
 
-def test_cli_ensemble():
+def test_cli_ensemble(tmp_path):
     out = run_cli(["--file_index", "5", "--case_val", "4",
                    "--iterations", "30", "--chunk_size", "30",
-                   "--samples", "2", "--n_ensemble", "2"])
+                   "--samples", "2", "--n_ensemble", "2",
+                   "--results_dir", str(tmp_path)])
     assert np.isfinite(out["rmse"]) and np.isfinite(out["nll"])
     assert len(out["per_chain"]) == 2
+    # the ensemble path writes the same results-npz contract as the
+    # single-chain path: pooled mixture predictions, chain 0's params
+    files = list((tmp_path / "ballbeam").glob("*_results.npz"))
+    assert len(files) == 1
+    with np.load(files[0]) as z:
+        n_test = z["Y_test_data"].shape[0]
+        assert z["y_test_vfe"].shape == (n_test,)
+        assert z["v_test_vfe_var"].shape == (n_test,)
+        assert z["y_train_vfe"].size > 0          # fit_y computed on demand
+        assert np.all(z["v_test_vfe_var"] > 0)
+
+
+def test_cli_log_clip_parsing():
+    """--sghmc_log_clip[_lower] spellings → FFVDConfig kwargs."""
+    from ffvd_tpu.cli import _log_clip_kwargs
+    assert _log_clip_kwargs(None, None) == {}
+    assert _log_clip_kwargs("none", None) == {"sghmc_log_clip": None}
+    assert _log_clip_kwargs("0", None) == {"sghmc_log_clip": None}
+    assert _log_clip_kwargs("10", None) == {"sghmc_log_clip": 10.0}
+    assert _log_clip_kwargs(None, "-25") == {"sghmc_log_clip_lower": -25.0}
+    # 'none' lower mirrors -upper (config property handles the mirroring)
+    assert _log_clip_kwargs("10", "none") == {
+        "sghmc_log_clip": 10.0, "sghmc_log_clip_lower": None}

@@ -26,8 +26,36 @@ def test_guard_defaults():
     from ffvd_tpu.config import FFVDConfig
     cfg = FFVDConfig()
     assert cfg.sghmc_log_clip == 12.0   # inside the measured cliff (~21-29)
+    # the cliff is one-sided: the lower bound stays at round 2's
+    # exp-overflow guard so legitimate small hypers (Q ~ 1e-6, log_q -13.8)
+    # are not forbidden
+    assert cfg.sghmc_log_clip_lower == -30.0
+    assert cfg.log_clip_bounds == (-30.0, 12.0)
     assert cfg.sghmc_p_clip == 1.0
     assert cfg.sghmc_grad_clip == 1e6
+
+
+def test_log_clip_asymmetric_bounds():
+    """The default bounds must clip the +cliff at 12 but leave the
+    extended-training regime (log_q ≈ −13.8, PARITY §2f) untouched; a
+    symmetric −12 would silently move it."""
+    from ffvd_tpu.config import FFVDConfig
+    from ffvd_tpu.inference.trainer import clip_log_leaves
+
+    bounds = FFVDConfig().log_clip_bounds
+    tree = {"log_q": jnp.asarray([-13.8, -35.0, 25.0]),
+            "u": jnp.asarray([55.0])}
+    out = clip_log_leaves(tree, bounds)
+    np.testing.assert_allclose(np.asarray(out["log_q"]),
+                               [-13.8, -30.0, 12.0])
+    np.testing.assert_allclose(np.asarray(out["u"]), [55.0])
+    # disabled lower bound mirrors the upper one
+    cfg = FFVDConfig(sghmc_log_clip_lower=None)
+    assert cfg.log_clip_bounds == (-12.0, 12.0)
+    # invalid ordering rejected
+    import pytest
+    with pytest.raises(ValueError):
+        FFVDConfig(sghmc_log_clip=5.0, sghmc_log_clip_lower=6.0)
 
 
 def test_log_clip_is_reflecting_barrier_in_phase():

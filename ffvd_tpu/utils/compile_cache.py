@@ -16,6 +16,17 @@ Env knobs:
   FFVD_COMPILE_CACHE=0          disable entirely
   FFVD_COMPILE_CACHE_DIR=<path> override the location
                                 (default ~/.cache/ffvd_tpu/xla)
+
+Known cosmetic noise: on cache hits the XLA:CPU AOT loader logs
+"Target machine feature +prefer-no-gather is not supported on the host
+machine ... could lead to execution errors such as SIGILL".  On the same
+host this is a false positive — `prefer-no-gather`/`prefer-no-scatter` are
+XLA codegen *tuning* flags recorded in the compile-time feature list but
+never reported by host CPU detection, so the set comparison can't match.
+Execution is correct (verified: cached CLI runs bit-match the golden
+warm-start anchor).  A genuinely different host would miss or safely
+recompile; delete the cache dir (or FFVD_COMPILE_CACHE=0) if the warning
+is ever accompanied by an actual crash.
 """
 
 from __future__ import annotations

@@ -26,6 +26,34 @@ from ffvd_tpu.model.params import (GPSSMParams, SSMData, adapt_warmstart_xdim,
                                    init_params_from_warmstart)
 
 
+def _warn_deep_usage(cfg: FFVDConfig) -> None:
+    """Deep-transition usage guard (PARITY §2b-deep, encoded): the seeded
+    study measured deep-2 wins only where the shallow model underfits
+    (flutter 1.8-2.4x, drive 1.2x over 3 seeds each); on the other stock
+    datasets it is parity-to-worse — actuator DEGRADES 2-5x (shallow
+    0.13-0.27 vs deep-2 0.50-0.66, tests/golden/deep_study.json).  The
+    reference's --n_layers path is dead code (dgp_model.py:362-379), so it
+    has no such regime to warn about."""
+    from ffvd_tpu.config import DATASETS, DEEP_UNDERFIT_DATASETS
+    if cfg.n_layers <= 1 or cfg.dataset not in DATASETS:
+        return
+    if cfg.dataset in DEEP_UNDERFIT_DATASETS:
+        return
+    import warnings
+    detail = (
+        "the measured regression is 2-5x (deep-2 RMSE 0.50-0.66 vs shallow "
+        "0.13-0.27 over 3 seeds); a smaller deep_hidden_init_scale "
+        "(e.g. 0.0625) recovers about half of it, but shallow remains best"
+        if cfg.dataset == "actuator" else
+        "deep-2 measured parity-to-slightly-worse within seed spread there")
+    warnings.warn(
+        f"n_layers={cfg.n_layers} on '{cfg.dataset}': the shallow model "
+        f"already fits this dataset well and {detail}.  Deep transitions "
+        "pay only where shallow underfits (measured: flutter, drive) — "
+        "see PARITY.md §2b-deep / tests/golden/deep_study.json.",
+        UserWarning, stacklevel=3)
+
+
 class FFVDModel:
     """Config → data → warm start → fused trainer → posterior predictions."""
 
@@ -35,6 +63,7 @@ class FFVDModel:
         ffvd_tpu.data.synthetic + a cold start from init_params_random);
         by default the named dataset and its Factnonlin warm start load."""
         self.cfg = cfg
+        _warn_deep_usage(cfg)
         if dtype is None:
             dtype = (jnp.float64 if jax.config.jax_enable_x64
                      else jnp.float32)
@@ -74,6 +103,35 @@ class FFVDModel:
     def params(self) -> GPSSMParams:
         return self.state.params
 
+    @property
+    def hybrid(self) -> bool:
+        """collapse_precision="hybrid": native fp32 burn-in + ds64 tail
+        (the measured fp32 gradient bias is a near-optimum phenomenon,
+        DESIGN §12, so only the tail needs the ds64 cost).  Only collapsed
+        cases (C4/C5) have the biased segment."""
+        return (self.cfg.collapse_precision == "hybrid"
+                and self.cfg.case_config.u_collapse)
+
+    def _tail_trainer(self) -> Trainer:
+        """The ds64 Trainer for the hybrid tail (lazily built; TrainState
+        is interchangeable — same labels, same optax structure)."""
+        tr = getattr(self, "_ds64_trainer", None)
+        if tr is None:
+            import dataclasses as _dc
+            cfg64 = _dc.replace(self.cfg, collapse_precision="ds64")
+            pg_fn = (make_pg_fn(cfg64)
+                     if cfg64.case_config.x_pg else None)
+            tr = self._ds64_trainer = Trainer(cfg64, self.data, pg_fn=pg_fn)
+        return tr
+
+    @property
+    def eval_trainer(self) -> Trainer:
+        """Trainer used for posterior collection: under the hybrid schedule
+        the eval-time SGHMC thinning happens at the sharply trained
+        post-tail point, exactly where the native-fp32 gradient is biased —
+        so eval rides the ds64 trainer there."""
+        return self._tail_trainer() if self.hybrid else self.trainer
+
     def fit(self, num_iterations: Optional[int] = None,
             chunk_size: int = 500,
             eval_every: Optional[int] = None,
@@ -86,7 +144,13 @@ class FFVDModel:
 
         ``tensorboard_dir``: write the reference's gated-off summary set
         (models.py:94-131) per training chunk via
-        utils.metrics.TensorBoardSink."""
+        utils.metrics.TensorBoardSink.
+
+        Under ``collapse_precision="hybrid"`` the last
+        ``cfg.hybrid_tail_iters`` iterations OF THIS CALL run the ds64
+        bound (per-call semantics: a study that trains in several fit()
+        calls pays one short ds64 tail per call; the intended production
+        use is one fit() for the whole protocol)."""
         n = num_iterations or self.cfg.total_iterations
         if not hasattr(self, "rmse_seq"):
             self.rmse_seq = []
@@ -94,13 +158,22 @@ class FFVDModel:
         if tensorboard_dir is not None:
             from ffvd_tpu.utils.metrics import TensorBoardSink
             tb = TensorBoardSink(tensorboard_dir)
+        # Hybrid precision schedule: the LAST `hybrid_tail_iters` of this
+        # fit() call run on the ds64 bound (see FFVDConfig.collapse_precision
+        # and self.hybrid); everything before runs native.
+        tail = min(self.cfg.hybrid_tail_iters, n) if self.hybrid else 0
         done = 0
         step = min(chunk_size, eval_every or n)
         while done < n:
             m = min(step, n - done)
+            if done < n - tail:
+                m = min(m, n - tail - done)   # don't cross the boundary
+                trainer = self.trainer
+            else:
+                trainer = self._tail_trainer() if tail else self.trainer
             self.key, sub = jax.random.split(self.key)
-            self.state, nlls = self.trainer.run(self.state, m, sub,
-                                                chunk_size=chunk_size)
+            self.state, nlls = trainer.run(self.state, m, sub,
+                                           chunk_size=chunk_size)
             self.nll_trace = jnp.concatenate([self.nll_trace, nlls])
             done += m
             if tb is not None:
@@ -119,7 +192,7 @@ class FFVDModel:
         test_len = min(self.dataset.n_test, max(horizon, 30))
         self.key, sub = jax.random.split(self.key)
         xs, vs, self.state = collect_posterior(
-            self.trainer, self.state, test_len, sub, num=num_samples)
+            self.eval_trainer, self.state, test_len, sub, num=num_samples)
         py, pv, _ = predict_summary(self.params, xs, vs,
                                     self.cfg.emission_noise)
         rmse, nll = rmse_nll(
@@ -133,7 +206,7 @@ class FFVDModel:
         test_len = self.dataset.n_test
         self.key, sub = jax.random.split(self.key)
         xs, vs, self.state = collect_posterior(
-            self.trainer, self.state, test_len, sub)
+            self.eval_trainer, self.state, test_len, sub)
         rmses, nlls = [], []
         y_test = jnp.asarray(self.dataset.y_test, self.dtype)
         for s in range(xs.shape[0]):
@@ -160,7 +233,7 @@ class FFVDModel:
         test_len = test_len or self.dataset.n_test
         self.key, sub = jax.random.split(self.key)
         xs, vs, self.state = collect_posterior(
-            self.trainer, self.state, test_len, sub, num=num_samples)
+            self.eval_trainer, self.state, test_len, sub, num=num_samples)
         self._last_rollout = (xs, vs)
         py, pv, fy = predict_summary(self.params, xs, vs,
                                      self.cfg.emission_noise)
@@ -197,7 +270,7 @@ class FFVDModel:
         test_len = test_len or self.dataset.n_test
         self.key, sub = jax.random.split(self.key)
         xs, vs, self.state = collect_posterior(
-            self.trainer, self.state, test_len, sub, num=s)
+            self.eval_trainer, self.state, test_len, sub, num=s)
         ys = xs @ self.params.c + self.params.d
         self.key, sub = jax.random.split(self.key)
         z = jax.random.normal(sub, ys.shape, ys.dtype)

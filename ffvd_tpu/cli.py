@@ -106,12 +106,25 @@ def build_argparser() -> argparse.ArgumentParser:
                    default="default")
     p.add_argument("--precision", choices=["fp32", "fp64"], default=None,
                    help="default: fp64 on cpu, fp32 on tpu")
-    p.add_argument("--collapse_precision", choices=["native", "ds64"],
+    p.add_argument("--collapse_precision",
+                   choices=["native", "ds64", "hybrid"],
                    default="native",
                    help="'ds64' evaluates the collapsed GP bound in "
                         "double-single (two-float32) arithmetic — fp64-"
                         "quality gradients for that segment on fp64-less "
-                        "TPUs (extended-training regimes; DESIGN.md §12)")
+                        "TPUs (extended-training regimes; DESIGN.md §12); "
+                        "'hybrid' runs native fp32 burn-in and switches to "
+                        "ds64 for the last --hybrid_tail_iters iterations "
+                        "(the bias is a near-optimum phenomenon) — fp64-"
+                        "bracket accuracy at a fraction of the ds64 cost")
+    p.add_argument("--hybrid_tail_iters", type=int, default=500,
+                   help="length of the ds64 tail under "
+                        "--collapse_precision hybrid (outer iterations)")
+    p.add_argument("--ds64_refine", type=int, default=None,
+                   help="chol_and_inv refinement rounds for the ds64 "
+                        "segment (default: the ops/ds64 module default; "
+                        "2 = the conservative ill-conditioned-edge "
+                        "setting)")
     p.add_argument("--results_dir", type=str, default="results")
     p.add_argument("--chunk_size", type=int, default=500)
     return p
@@ -184,6 +197,8 @@ def main(argv=None):
         pg_ancestor_trace=args.pg_ancestor_trace,
         deep_sample_hidden=args.deep_sample_hidden,
         collapse_precision=args.collapse_precision,
+        ds64_refine=args.ds64_refine,
+        hybrid_tail_iters=args.hybrid_tail_iters,
         **_log_clip_kwargs(args.sghmc_log_clip, args.sghmc_log_clip_lower))
 
     print(f"#### {dataset} | case C{cfg.case} | {platform} {precision} ####")

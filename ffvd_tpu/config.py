@@ -22,6 +22,14 @@ DATASETS = ("dryer", "drive", "gas_furnace", "actuator", "flutter", "ballbeam")
 # Index order of the reference's --file_index flag (FFVD_Main.py:383).
 FILE_INDEX_ORDER = DATASETS
 
+# Stock datasets where the seeded deep-transition study measured a win for
+# n_layers=2 (PARITY §2b-deep, tests/golden/deep_study.json): flutter RMSE
+# 1.8-2.4x below shallow over 3 seeds, drive 1.2x below over 3 seeds.  On
+# the remaining stock datasets deep-2 is parity-to-worse (actuator DEGRADES
+# 2-5x; gas_furnace/dryer/ballbeam tie within seed spread) — the usage
+# guard in api.FFVDModel warns when n_layers > 1 is configured for them.
+DEEP_UNDERFIT_DATASETS = ("flutter", "drive")
+
 
 @dataclasses.dataclass(frozen=True)
 class CaseConfig:
@@ -200,9 +208,21 @@ class FFVDConfig:
     # "ds64": double-single (two-float32) arithmetic (ops/ds64.py) — fp64
     # quality for the one segment whose fp32 gradient is measurably BIASED
     # near the optimum (docs/DESIGN.md §12; only matters for extended
-    # training, ≳3× the reference protocol length).  Collapsed cases
-    # (C4/C5) only; ignored when the case keeps U uncollapsed.
+    # training, ≳3× the reference protocol length).  "hybrid": native fp32
+    # for the burn-in, ds64 for the last ``hybrid_tail_iters`` of the run
+    # (api.FFVDModel.fit) — the measured bias is a NEAR-OPTIMUM phenomenon
+    # (DESIGN §12), so paying the ds64 cost only for the tail buys the same
+    # optimum at a fraction of the cost; eval-side collapse/precal run ds64
+    # in both modes.  Collapsed cases (C4/C5) only; ignored when the case
+    # keeps U uncollapsed.
     collapse_precision: str = "native"
+    # chol_and_inv refinement rounds for the ds64 segment.  None = the
+    # ops/ds64 module default (see ds64._DEFAULT_REFINE — production 1
+    # after the round-4 revalidation; 2 for the ill-conditioned edge).
+    ds64_refine: Optional[int] = None
+    # collapse_precision="hybrid": how many FINAL iterations of each
+    # ``FFVDModel.fit`` call run with the ds64 bound (the rest run native).
+    hybrid_tail_iters: int = 500
     file_id: int = 3                # warm-start file selector (FFVD_Main.py:363)
     seed: int = 0
 
@@ -215,9 +235,13 @@ class FFVDConfig:
             raise ValueError(f"invalid case {self.case}")
         if self.emission_noise not in ("auto", "diag", "full"):
             raise ValueError(f"invalid emission_noise {self.emission_noise!r}")
-        if self.collapse_precision not in ("native", "ds64"):
+        if self.collapse_precision not in ("native", "ds64", "hybrid"):
             raise ValueError(
                 f"invalid collapse_precision {self.collapse_precision!r}")
+        if self.ds64_refine is not None and self.ds64_refine < 0:
+            raise ValueError("ds64_refine must be >= 0 or None")
+        if self.hybrid_tail_iters < 0:
+            raise ValueError("hybrid_tail_iters must be >= 0")
         if self.minibatch_size is not None and self.minibatch_size < 1:
             raise ValueError("minibatch_size must be >= 1 or None")
         if self.n_layers < 1:

@@ -7,7 +7,12 @@ a 50/50 chronological train/test split.
 
 Data files are read from ``$FFVD_DATA_DIR`` (default: the upstream
 ``data/`` directory if present next to ``$FFVD_REFERENCE_DIR`` or at
-/root/reference).  The raw files are not vendored into this repo.
+/root/reference).  Two SMALL datasets (gas_furnace 296 rows, ballbeam 1000
+rows) plus their default warm starts are vendored under
+``ffvd_tpu/data/vendored/`` so a fresh clone runs the quickstart and the
+fast test tier fully offline (see vendored/MANIFEST.json for provenance);
+the remaining four datasets still need an upstream checkout or
+``scripts/fetch_data.sh``.
 """
 
 from __future__ import annotations
@@ -57,17 +62,29 @@ def data_dir() -> Path:
     return ref / "data"
 
 
+VENDORED_DIR = Path(__file__).parent / "vendored"
+
+
 def _read_raw(name: str, root: Optional[Path] = None):
     fname, kind = DATASET_FILES[name]
     root = root or data_dir()
     path = root / fname
+    if not path.exists() and root == data_dir():
+        # Offline fallback: two small datasets ship in-tree (module
+        # docstring / vendored/MANIFEST.json).  An explicit ``root``
+        # argument is never silently redirected.
+        vendored = VENDORED_DIR / fname
+        if vendored.exists():
+            path = vendored
     if not path.exists():
         raise FileNotFoundError(
-            f"dataset file {path} not found. The six FFVD datasets are not "
-            "vendored into this repo (deliberate — see README.md 'Data "
-            "provenance'): point $FFVD_DATA_DIR at the data/ directory of an "
-            "upstream FFVD checkout (github.com/xuhuifan/FFVD), or run "
-            "scripts/fetch_data.sh to clone it.")
+            f"dataset file {path} not found and not in the vendored set "
+            f"({sorted(p.name for p in VENDORED_DIR.glob('*.dat'))} + "
+            "gas_furnace.csv). For the remaining datasets point "
+            "$FFVD_DATA_DIR at the data/ directory of an upstream FFVD "
+            "checkout (github.com/xuhuifan/FFVD), or run "
+            "scripts/fetch_data.sh to clone it (README.md 'Data "
+            "provenance').")
     if kind == "dat":
         arr = np.loadtxt(path)
         u, y = arr[:, 0:1], arr[:, 1:2]

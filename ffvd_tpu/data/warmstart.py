@@ -41,18 +41,43 @@ def list_warmstarts(dataset: str, root: Optional[Path] = None) -> List[str]:
     return sorted(glob.glob(pattern))
 
 
+def _vendored_warmstart(dataset: str, file_id: int) -> Optional[str]:
+    """Offline fallback: the vendored set ships the DEFAULT warm start
+    (file_id=3) for gas_furnace and ballbeam (see
+    data/vendored/MANIFEST.json; x_samples_training is pre-reduced to its
+    posterior mean, which init_params_from_warmstart's mean over the sample
+    axis reproduces bit-identically)."""
+    import json
+    from ffvd_tpu.data.loaders import VENDORED_DIR
+    manifest = VENDORED_DIR / "MANIFEST.json"
+    if not manifest.exists():
+        return None
+    for fname, meta in json.loads(manifest.read_text()).items():
+        if (meta.get("dataset") == dataset
+                and meta.get("file_id") == file_id
+                and (VENDORED_DIR / fname).exists()):
+            return str(VENDORED_DIR / fname)
+    return None
+
+
 def load_warmstart(dataset: str, file_id: int = 3,
                    root: Optional[Path] = None) -> dict:
     """Load warm-start file #file_id (sorted order) for a dataset."""
     files = list_warmstarts(dataset, root)
+    if not files and root is None:
+        vendored = _vendored_warmstart(dataset, file_id)
+        if vendored is not None:
+            files = [vendored]
+            file_id = 0
     if not files:
         raise FileNotFoundError(
             f"no warm-start npz for {dataset!r} under "
-            f"{root or warmstart_dir()}. The Factnonlin_ini/ warm starts are "
-            "not vendored (see README.md 'Data provenance'): point "
-            "$FFVD_WARMSTART_DIR at the Factnonlin_ini/ directory of an "
-            "upstream FFVD checkout (github.com/xuhuifan/FFVD), or run "
-            "scripts/fetch_data.sh to clone it.")
+            f"{root or warmstart_dir()} and no vendored fallback (only "
+            "gas_furnace/ballbeam at file_id=3 ship in-tree — "
+            "data/vendored/MANIFEST.json): point $FFVD_WARMSTART_DIR at "
+            "the Factnonlin_ini/ directory of an upstream FFVD checkout "
+            "(github.com/xuhuifan/FFVD), or run scripts/fetch_data.sh to "
+            "clone it (README.md 'Data provenance').")
     if not 0 <= file_id < len(files):
         raise IndexError(
             f"file_id {file_id} out of range: {len(files)} warm-start files "

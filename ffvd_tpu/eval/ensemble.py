@@ -42,7 +42,7 @@ def chain_moments(model) -> Chain:
 
     model.key, sub = jax.random.split(model.key)
     xs, vs, model.state = collect_posterior(
-        model.trainer, model.state, model.dataset.n_test, sub)
+        model.eval_trainer, model.state, model.dataset.n_test, sub)
     p = model.params
     y_s = np.asarray(xs @ p.c + p.d, np.float64)
     v_s = np.asarray(vs @ (p.c * p.c), np.float64)

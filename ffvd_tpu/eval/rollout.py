@@ -42,8 +42,8 @@ from ffvd_tpu.model.params import GPSSMParams, SSMData
 
 
 def _rollout_one(kernel_type: str, jitter: float, kparams, z, u_val,
-                 q_sqrt, q, x0, controls, key,
-                 hidden=(), ds64=False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 q_sqrt, q, x0, controls, key, hidden=(), ds64=False,
+                 ds64_refine=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One free-running trajectory of length T = controls.shape[0].
 
     x0: (D,), controls: (T, U) — returns (xs (T, D), var_tot (T, D)).
@@ -53,7 +53,7 @@ def _rollout_one(kernel_type: str, jitter: float, kparams, z, u_val,
     (one-time, outside the scan — see model/ds_collapse.ds_precal)."""
     if ds64:
         from ffvd_tpu.model.ds_collapse import ds_precal
-        pre = ds_precal(kernel_type, kparams, z, jitter)
+        pre = ds_precal(kernel_type, kparams, z, jitter, refine=ds64_refine)
     else:
         pre = kernel_precal(kernel_type, kparams, z, jitter)
     if hidden:
@@ -122,8 +122,11 @@ def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
     # ds64 mode extends to eval: the collapsed q(U)'s H = F̃ᵀF̃/Q + I has
     # cond ~ ‖F̃‖²/Q, and at the sharply trained points ds64 training
     # reaches (Q ~ 1e-6) the fp32 q_sqrt = chol(H)⁻ᵀ inflates rollout
-    # variance by orders of magnitude (PARITY §2f caveat).
-    ds64 = cfg.collapse_precision == "ds64"
+    # variance by orders of magnitude (PARITY §2f caveat).  "hybrid" runs
+    # ds64 on the eval side too: the rollout evaluates at the (sharply
+    # trained) post-tail point where the fp32 factorization is the problem.
+    ds64 = cfg.collapse_precision in ("ds64", "hybrid")
+    refine = cfg.ds64_refine
 
     def u_and_qsqrt(params: GPSSMParams, data: SSMData):
         if collapse:
@@ -146,7 +149,7 @@ def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
                 from ffvd_tpu.model.ds_collapse import ds_collapsed_u_posterior
                 u_val, q_sqrt = ds_collapsed_u_posterior(
                     kt, params.kernel, params.z, params.x, xc,
-                    params.log_q, jitter=jit_)
+                    params.log_q, jitter=jit_, refine=refine)
             else:
                 u_val, q_sqrt = collapsed_u_posterior(
                     kt, params.kernel, pre, params.z, params.x, xc, params.q)
@@ -212,7 +215,7 @@ def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
                 xs, vs = _rollout_one(kt, jit_, p.kernel, p.z,
                                       u_val, q_sqrt, p.q, p.x[-1],
                                       controls, k_roll, hidden=p.hidden,
-                                      ds64=ds64)
+                                      ds64=ds64, ds64_refine=refine)
                 return (sub, sstate), (xs, vs)
 
             (sub, sstate), (xs, vs) = jax.lax.scan(
@@ -228,7 +231,8 @@ def build_collect(trainer: Trainer, test_len: int, num: int, spacing: int):
             roll = functools.partial(_rollout_one, kt, jit_, params.kernel,
                                      params.z, u_val, q_sqrt, params.q,
                                      params.x[-1], controls,
-                                     hidden=params.hidden, ds64=ds64)
+                                     hidden=params.hidden, ds64=ds64,
+                                     ds64_refine=refine)
             xs, vs = jax.vmap(roll)(jax.random.split(key, num))
             return xs, vs, state
 

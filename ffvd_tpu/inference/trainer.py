@@ -196,12 +196,18 @@ class Trainer:
 
         # nll(params, data): data stays an explicit argument so stacked
         # datasets can be vmapped through the same step (BASELINE config 5).
+        # "hybrid" trains native here — the ds64 tail is a SECOND Trainer
+        # built by api.FFVDModel.fit with collapse_precision="ds64"
+        # (TrainState is interchangeable: same labels, same tx structure).
+        self.train_precision = ("native" if cfg.collapse_precision == "hybrid"
+                                else cfg.collapse_precision)
         self.nll_fn = functools.partial(
             negative_elbo,
             kernel_type=cfg.kernel_type, prior_type=cfg.prior_type,
             u_collapse=cfg.case_config.u_collapse, jitter=cfg.jitter,
             emission_noise=cfg.emission_noise,
-            collapse_precision=cfg.collapse_precision)
+            collapse_precision=self.train_precision,
+            ds64_refine=cfg.ds64_refine)
         self.grad_fn = jax.grad(self.nll_fn)
         self.value_grad_fn = jax.value_and_grad(self.nll_fn)
 
@@ -223,7 +229,8 @@ class Trainer:
                 kernel_type=cfg.kernel_type, prior_type=cfg.prior_type,
                 u_collapse=cfg.case_config.u_collapse, jitter=cfg.jitter,
                 emission_noise=cfg.emission_noise,
-                collapse_precision=cfg.collapse_precision)
+                collapse_precision=self.train_precision,
+                ds64_refine=cfg.ds64_refine)
             self._win_nll = win_nll
             self._win_grad = jax.grad(win_nll)
             self._win_value_grad = jax.value_and_grad(win_nll)

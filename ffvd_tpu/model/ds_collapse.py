@@ -109,9 +109,12 @@ _DISPATCH = {
 # ---------------------------------------------------------------------------
 
 def _ds_projection(kernel_type: str, kparams: KernelParams, z: jnp.ndarray,
-                   xc: jnp.ndarray, jitter: float):
+                   xc: jnp.ndarray, jitter: float,
+                   refine: Optional[int] = None):
     """Shared precal + projection pipeline:
-    (Lm, Lm⁻¹, A = Lm⁻¹K(Z,X̃) (D,M,N), Kdiag (D,N)) — all DS."""
+    (Lm, Lm⁻¹, A = Lm⁻¹K(Z,X̃) (D,M,N), Kdiag (D,N)) — all DS.
+    ``refine``: chol_and_inv refinement rounds (None = ds64 module
+    default)."""
     cross_fn, diag_fn = _DISPATCH[kernel_type]
     z32, xc32 = _f32(z), _f32(xc)
     m = z.shape[0]
@@ -124,14 +127,14 @@ def _ds_projection(kernel_type: str, kparams: KernelParams, z: jnp.ndarray,
     kmm = ds.dsmap(lambda t: t[:, :m], big)                   # (D, M, M)
     knm = ds.dsmap(lambda t: t[:, m:], big)                   # (D, N, M)
     kmm = ds.add(kmm, ds.mul_f(ds.const(jitter), eye))
-    lm, lm_inv = ds.chol_and_inv(kmm)
+    lm, lm_inv = ds.chol_and_inv(kmm, refine=refine)
     a = ds.matmul(lm_inv, ds.transpose(knm))                  # (D, M, N)
     kdiag = diag_fn(kparams, xc32)                            # (D, N)
     return lm, lm_inv, a, kdiag
 
 
 def ds_precal(kernel_type: str, kparams: KernelParams, z: jnp.ndarray,
-              jitter: float = 1e-5):
+              jitter: float = 1e-5, refine: Optional[int] = None):
     """Double-single-refined Kmm factorization, collapsed to a float32
     ``conditionals.Precal`` — a drop-in for ``kernel_precal`` wherever the
     downstream math is float32 anyway (e.g. the eval rollout's
@@ -143,7 +146,7 @@ def ds_precal(kernel_type: str, kparams: KernelParams, z: jnp.ndarray,
     eye = jnp.eye(z.shape[0], dtype=jnp.float32)
     kmm = cross_fn(kparams, z32, z32)
     kmm = ds.add(kmm, ds.mul_f(ds.const(jitter), eye))
-    lm, lm_inv = ds.chol_and_inv(kmm)
+    lm, lm_inv = ds.chol_and_inv(kmm, refine=refine)
     return Precal(lm=ds.to_f32(lm), lm_inv=ds.to_f32(lm_inv))
 
 
@@ -156,6 +159,7 @@ def ds_collapsed_u_posterior(
     log_q: jnp.ndarray,
     *,
     jitter: float = 1e-5,
+    refine: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """q(U) of the collapsed bound in double-single, float32 out — the ds
     twin of ``conditionals.collapsed_u_posterior`` (reference:
@@ -168,7 +172,7 @@ def ds_collapsed_u_posterior(
     variance by orders of magnitude (PARITY §2f caveat).
 
     Returns (u_mean (M, D), q_sqrt (D, M, M) upper-triangular), float32."""
-    _, _, a, _ = _ds_projection(kernel_type, kparams, z, xc, jitter)
+    _, _, a, _ = _ds_projection(kernel_type, kparams, z, xc, jitter, refine)
     m = z.shape[0]
     eye = jnp.eye(m, dtype=jnp.float32)
     dx = ds.sub(ds.lift(_f32(x[1:])), ds.lift(_f32(x[:-1])))  # (N, D)
@@ -181,7 +185,7 @@ def ds_collapsed_u_posterior(
     avec = ds.mul(ds.dsmap(lambda t: t[..., 0], avec),
                   ds.dsmap(lambda t: t[:, None], qinv))       # (D, M)
 
-    _, lh_inv = ds.chol_and_inv(h)
+    _, lh_inv = ds.chol_and_inv(h, refine=refine)
     v = ds.matvec(lh_inv, avec)                               # L⁻¹ a
     u_mean = ds.matvec(ds.transpose(lh_inv), v)               # H⁻¹a = L⁻ᵀ v
     q_sqrt = ds.to_f32(ds.transpose(lh_inv))                  # chol(H)⁻ᵀ
@@ -199,6 +203,7 @@ def ds_collapsed_terms(
     jitter: float = 1e-5,
     mask: Optional[jnp.ndarray] = None,
     gram_scale=1.0,
+    refine: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(term1, term2, trace) of the collapsed bound, double-single throughout.
 
@@ -212,7 +217,8 @@ def ds_collapsed_terms(
     eye = jnp.eye(m, dtype=jnp.float32)
 
     # --- precal + projection A = Lm⁻¹ K(Z, X̃), double-single refined ------
-    _, _, a, kdiag = _ds_projection(kernel_type, kparams, z, xc, jitter)
+    _, _, a, kdiag = _ds_projection(kernel_type, kparams, z, xc, jitter,
+                                    refine)
     dx = ds.sub(ds.lift(x32[1:]), ds.lift(x32[:-1]))          # (N, D)
     if mask is not None:
         m32 = _f32(mask)
@@ -231,7 +237,7 @@ def ds_collapsed_terms(
     avec = ds.mul(ds.dsmap(lambda t: t[..., 0], avec),
                   ds.dsmap(lambda t: t[:, None], qinv_s))     # (D, M)
 
-    lh, lh_inv = ds.chol_and_inv(h)
+    lh, lh_inv = ds.chol_and_inv(h, refine=refine)
 
     # term1 = ½ Σ_d log|H_d| = Σ log diag(L_H)
     logdiag = ds.log(ds.diagonal(lh))                         # (D, M)

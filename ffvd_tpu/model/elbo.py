@@ -18,7 +18,7 @@ normalized by the number of real transitions instead.
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +57,7 @@ def elbo_terms(params: GPSSMParams, data: SSMData, *,
                jitter: float = 1e-5,
                emission_noise: str = "auto",
                collapse_precision: str = "native",
+               ds64_refine: Optional[int] = None,
                key=None) -> Dict[str, jnp.ndarray]:
     """All nll terms.  Returns a dict whose 'nll' entry is the objective.
 
@@ -70,7 +71,9 @@ def elbo_terms(params: GPSSMParams, data: SSMData, *,
     gradient bias of that segment (docs/DESIGN.md §12).  Only the collapsed
     branch is affected (the bias lives there); a deep model's hidden-layer
     propagation stays native (its contribution is sampled noise, not the
-    biased deterministic segment)."""
+    biased deterministic segment).  ``ds64_refine``: chol_and_inv
+    refinement rounds for the ds64 segment (None = ops/ds64 module
+    default)."""
     n = params.n_transitions
     mask = data.mask
     if mask is None:
@@ -118,7 +121,8 @@ def elbo_terms(params: GPSSMParams, data: SSMData, *,
             from ffvd_tpu.model.ds_collapse import ds_collapsed_terms
             term1, term2, trace = ds_collapsed_terms(
                 kernel_type, params.kernel, params.z, params.x, xc,
-                params.log_q, jitter=jitter, mask=row_w)
+                params.log_q, jitter=jitter, mask=row_w,
+                refine=ds64_refine)
         else:
             pre = cond.kernel_precal(kernel_type, params.kernel, params.z,
                                      jitter)
@@ -170,6 +174,7 @@ def windowed_elbo_terms(params: GPSSMParams, data: SSMData,
                         jitter: float = 1e-5,
                         emission_noise: str = "auto",
                         collapse_precision: str = "native",
+                        ds64_refine: Optional[int] = None,
                         key=None) -> Dict[str, jnp.ndarray]:
     """Minibatch (random time window) objective — the reference's
     batch_placeholder semantics made live.  ``key``: deep-transition
@@ -257,7 +262,7 @@ def windowed_elbo_terms(params: GPSSMParams, data: SSMData,
             term1, term2, trace = ds_collapsed_terms(
                 kernel_type, params.kernel, params.z, x_win, xc,
                 params.log_q, jitter=jitter, mask=mask_win,
-                gram_scale=gram_scale)
+                gram_scale=gram_scale, refine=ds64_refine)
         else:
             pre = cond.kernel_precal(kernel_type, params.kernel, params.z,
                                      jitter)

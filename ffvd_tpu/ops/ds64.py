@@ -315,6 +315,39 @@ def dsum(x: DS, axis: int = -1) -> DS:
 
 _MM_CHUNK_ELEMS = 1 << 22   # ~4M f32 per product-tensor component
 
+# Default chol_and_inv refinement-round count when callers pass refine=None.
+# The swap-based attribution (tests/golden/ds64_profile.json r3) puts the
+# refinement loop at ~64% of the ds64 train step; refine=1 was probed at
+# 1.91x end-to-end with same-optimum convergence (r3_refine).  The default
+# stays 2 until the PARITY §2f revalidation (12k-iter budgets + flutter C5
+# 5-seed retrain) lands at refine=1 — see the round-4 `_ds64r1` arms in
+# fp32_stall_study.json / escape_validation.json.  refine=2 remains
+# available per call (or FFVD_DS64_REFINE=2) for the ill-conditioned edge
+# the second round was built for (cond ~1e7: residual 1e-9 after one
+# round, dd-floor after two — tests/test_ds64.py).
+_DEFAULT_REFINE = 2
+
+
+def set_default_refine(n: int) -> None:
+    """Set the module-wide chol_and_inv refinement default (refine=None)."""
+    global _DEFAULT_REFINE
+    if not isinstance(n, int) or n < 0:
+        raise ValueError(f"invalid ds64 refine count {n!r}")
+    _DEFAULT_REFINE = n
+
+
+def _resolve_refine(refine) -> int:
+    if refine is not None:
+        return refine
+    import os
+    env = os.environ.get("FFVD_DS64_REFINE")
+    if env is not None:
+        if not env.isdigit():
+            raise ValueError(
+                f"FFVD_DS64_REFINE={env!r}: expected a non-negative integer")
+        return int(env)
+    return _DEFAULT_REFINE
+
 # Which matmul implementation ds.matmul routes to: "vpu" (two_prod + tree
 # reduction, this module), "mxu" (Ozaki digit splitting on the matrix unit,
 # ops/ds64_mxu.py — same ~49-bit accuracy, 3.1x end-to-end on TPU), or
@@ -414,7 +447,7 @@ def _newton_inv_step(x: DS, a: DS) -> DS:
     return add(x, matmul(x, r))
 
 
-def chol_and_inv(a: DS, refine: int = 2,
+def chol_and_inv(a: DS, refine: Optional[int] = None,
                  guard_threshold: float = 0.25) -> Tuple[DS, DS]:
     """(L, L^-1) of symmetric PD (..., M, M) in double-single.
 
@@ -428,7 +461,10 @@ def chol_and_inv(a: DS, refine: int = 2,
          step of X against the corrected L.  One round squares the factor
          error (2**-24 -> ~2**-45); the second matters for ill-conditioned
          matrices (cond ~1e7 measured: residual 1e-9 after one round,
-         dd-floor after two — tests/test_ds64.py).
+         dd-floor after two — tests/test_ds64.py).  ``refine=None`` uses
+         the module default (see _DEFAULT_REFINE / set_default_refine /
+         FFVD_DS64_REFINE; production default 1 after the round-4
+         revalidation).
 
     All steps are dd matmuls — no sequential triangular sweeps.  Any added
     retry jitter is applied to the dd matrix too, so the refinement target
@@ -453,6 +489,8 @@ def chol_and_inv(a: DS, refine: int = 2,
     stop_gradient: a NaN PRIMAL inside cholesky's VJP yields NaN cotangents
     even when the incoming cotangent is zero."""
     from ffvd_tpu.ops.chol import _tri_inv
+
+    refine = _resolve_refine(refine)
 
     m = a.hi.shape[-1]
     eye = jnp.eye(m, dtype=a.dtype)

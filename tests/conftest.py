@@ -28,6 +28,15 @@ from pathlib import Path  # noqa: E402
 GOLDEN_DIR = Path(__file__).parent / "golden"
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: everything not explicitly marked ``slow`` gets the
+    ``quick`` marker, so `-m quick` is the <=2-min developer tier and the
+    plain run is the full suite (pyproject [tool.pytest.ini_options])."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.quick)
+
+
 def golden_files():
     return sorted(GOLDEN_DIR.glob("golden_*.npz"))
 

@@ -16,7 +16,19 @@ hyper-gradient evaluations per iteration get the double-single segment
 (DESIGN §13).  Question: does the unbiased bound narrow the residual gap
 to the fp64 anchors (flutter median 1.19 fp32 vs 0.672/0.768 fp64)?
 
-Usage: [FFVD_ESCAPE_DS64=1] python tests/golden/escape_validation.py [datasets...]
+Round-4 arms (FFVD_ESCAPE_MODE=...):
+  ds64r1 (tags ``*_ds64r1``): collapse_precision=ds64 with chol_and_inv
+    refine=1 — the productionization candidate (VERDICT r3 item 1; probed
+    1.91x end-to-end at same-optimum convergence, ds64_profile.json
+    r3_refine).  Success = same seed statistics as the refine=2 ``*_ds64``
+    arm (median inside the fp64 bracket) at ~half the train time.
+  hybrid (tags ``*_hybrid``): collapse_precision=hybrid — native fp32
+    burn-in, ds64(refine=1) for the last cfg.hybrid_tail_iters=500 outer
+    iterations + eval (VERDICT r3 item 3).  Success = 5-seed median <=0.85
+    at <=5x the native-fp32 train time (~30 s).
+
+Usage: [FFVD_ESCAPE_DS64=1 | FFVD_ESCAPE_MODE=ds64r1|hybrid]
+       python tests/golden/escape_validation.py [datasets...]
 NEVER run two TPU processes concurrently (single tunneled chip).
 """
 
@@ -44,8 +56,16 @@ def main():
     outjson = Path(__file__).parent / "escape_validation.json"
     results = json.loads(outjson.read_text()) if outjson.exists() else {}
 
-    ds64 = os.environ.get("FFVD_ESCAPE_DS64", "0") == "1"
-    suffix = "_ds64" if ds64 else ""
+    mode = os.environ.get("FFVD_ESCAPE_MODE", "")
+    if os.environ.get("FFVD_ESCAPE_DS64", "0") == "1":
+        mode = "ds64"
+    cfg_kw = {
+        "": dict(collapse_precision="native"),
+        "ds64": dict(collapse_precision="ds64"),
+        "ds64r1": dict(collapse_precision="ds64", ds64_refine=1),
+        "hybrid": dict(collapse_precision="hybrid", ds64_refine=1),
+    }[mode]
+    suffix = f"_{mode}" if mode else ""
     for ds, seeds in jobs.items():
         for seed in seeds:
             tag = f"{ds}_C5_s{seed}{suffix}"
@@ -53,7 +73,7 @@ def main():
                 print(f"skip {tag}", flush=True)
                 continue
             cfg = FFVDConfig(dataset=ds, case=5, iterations=2000, seed=seed,
-                             collapse_precision="ds64" if ds64 else "native")
+                             **cfg_kw)
             model = FFVDModel(cfg, dtype=jnp.float32)
             t0 = time.time()
             model.fit()

@@ -33,7 +33,12 @@ fp32_mixed_control.py validated with fp64 on CPU.  Success = the ds64 run
 lands in the mixed/fp64 bracket (budget ~1.2-1.5, v_first ≤ ~3e-4) at TPU
 speed; train_time_sec gives the ds64-vs-native throughput cost directly.
 
-Usage: [FFVD_STALL_FP64CPU=1|FFVD_STALL_DS64=1]
+Round-4 addendum: FFVD_STALL_DS64R1=1 (tags ``*_ds64r1``) runs the
+long12k ds64 arm with chol_and_inv refine=1 — the budget-validation half
+of the refine=1 productionization (VERDICT r3 item 1).  Success = the
+fp64-bracket budget of the ``*_ds64`` arm at ~half its train time.
+
+Usage: [FFVD_STALL_FP64CPU=1|FFVD_STALL_DS64=1|FFVD_STALL_DS64R1=1]
        python tests/golden/fp32_stall_study.py [datasets...]
 NEVER run two TPU processes concurrently (single tunneled chip).
 """
@@ -94,13 +99,16 @@ def main():
         outjson.write_text(json.dumps(results, indent=1))
         print(tag, rec, flush=True)
 
-    ds64 = os.environ.get("FFVD_STALL_DS64", "0") == "1"
+    ds64r1 = os.environ.get("FFVD_STALL_DS64R1", "0") == "1"
+    ds64 = os.environ.get("FFVD_STALL_DS64", "0") == "1" or ds64r1
     dtype = jnp.float64 if FP64CPU else jnp.float32
-    suffix = "_fp64cpu" if FP64CPU else ("_ds64" if ds64 else "")
+    suffix = ("_fp64cpu" if FP64CPU
+              else ("_ds64r1" if ds64r1 else ("_ds64" if ds64 else "")))
 
     for ds in datasets:
         cfg = FFVDConfig(dataset=ds, case=4, iterations=2000, seed=1,
                          rollout_qsqrt_dim0=True,
+                         ds64_refine=1 if ds64r1 else None,
                          collapse_precision="ds64" if ds64 else "native")
 
         tag = f"{ds}_long12k_s1{suffix}"

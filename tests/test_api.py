@@ -5,8 +5,10 @@ code upstream and WORK here)."""
 import numpy as np
 
 from ffvd_tpu.api import RegressionModel
+import pytest
 
 
+@pytest.mark.slow
 def test_regression_model_full_surface(tmp_path):
     m = RegressionModel("normal", dataset="ballbeam", case=4)
     m.fit(num_iterations=60, chunk_size=60)
@@ -26,6 +28,7 @@ def test_regression_model_full_surface(tmp_path):
         assert "y_test_vfe" in z.files and "ll_seq" in z.files
 
 
+@pytest.mark.slow
 def test_fit_with_periodic_eval_and_per_sample():
     m = RegressionModel("normal", dataset="ballbeam", case=4,
                         num_posterior_samples=3)
@@ -36,6 +39,7 @@ def test_fit_with_periodic_eval_and_per_sample():
     assert len(rmses) == 3 and all(np.isfinite(r) for r in rmses)
 
 
+@pytest.mark.slow
 def test_model_with_injected_synthetic_dataset():
     import jax
     from ffvd_tpu.config import FFVDConfig
@@ -54,6 +58,7 @@ def test_model_with_injected_synthetic_dataset():
     assert np.isfinite(res["rmse"])
 
 
+@pytest.mark.slow
 def test_fit_ensemble_and_pooled_eval():
     """eval.ensemble: pooled mixture moments — pooled mean is the average
     of per-chain means, the spread term only ever widens the variance, and

@@ -5,6 +5,9 @@ import pytest
 
 from ffvd_tpu import cli
 
+# heavy compile/e2e module: excluded from the `-m quick` tier
+pytestmark = pytest.mark.slow
+
 
 def run_cli(args):
     return cli.main(args + ["--platform", "cpu"])

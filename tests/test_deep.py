@@ -23,6 +23,9 @@ from ffvd_tpu.model.elbo import (elbo_terms, negative_elbo,
 from ffvd_tpu.model.params import (SSMData, init_hidden_layers,
                                    init_params_random)
 
+# heavy compile/e2e module: excluded from the `-m quick` tier
+pytestmark = pytest.mark.slow
+
 
 def _setup(n=40, m=8, x_dim=2, n_hidden=1, seed=0):
     ds = generate_kink(n=n, seed=seed)

@@ -16,6 +16,9 @@ import pytest
 
 from ffvd_tpu.ops import ds64 as ds
 
+# heavy compile/e2e module: excluded from the `-m quick` tier
+pytestmark = pytest.mark.slow
+
 def rand(shape, scale=1.0, offset=0.0):
     # deterministic per call signature, independent of test order (xdist)
     seed = abs(hash((tuple(np.ravel(shape)), float(scale),

@@ -37,6 +37,9 @@ from ffvd_tpu.model.ds_collapse import ds_collapsed_terms
 from ffvd_tpu.ops import ds64 as ds
 from ffvd_tpu.ops.kernels import KernelParams
 
+# heavy compile/e2e module: excluded from the `-m quick` tier
+pytestmark = pytest.mark.slow
+
 D, M, N, DIN = 2, 12, 48, 3
 ARGNUMS = (0, 1, 4)      # kernel hypers, z, log_q — the biased blocks
 

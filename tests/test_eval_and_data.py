@@ -70,6 +70,7 @@ def test_rollout_near_deterministic_when_noise_tiny():
     np.testing.assert_allclose(np.asarray(xs), expected, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tensorboard_sink_writes_reference_summary_set(tmp_path):
     """utils.metrics.TensorBoardSink — the reference's gated-off summary set
     (models.py:94-131) made live.  Write two steps, read the event file back
@@ -146,6 +147,7 @@ def test_results_npz_schema(tmp_path):
     assert expected <= keys
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_and_resume(tmp_path):
     """Orbax checkpoint + exact deterministic resume
     (SURVEY.md §5 failure-detection/checkpoint row)."""
@@ -177,6 +179,7 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_nan_guard_raises():
     import dataclasses
     import jax
@@ -191,6 +194,7 @@ def test_nan_guard_raises():
         tr.run(state, 2, jax.random.key(0), chunk_size=2)
 
 
+@pytest.mark.slow
 def test_synthetic_kink_cold_start_trains():
     """Framework capability the reference lacks entirely: train on generated
     data with a cold start (no Factnonlin warm start)."""
@@ -243,6 +247,7 @@ def test_fresh_conditional_equals_cached():
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
 
+@pytest.mark.slow
 def test_linear_system_identification_end_to_end():
     """On a generated linear-Gaussian SSM the GPSSM should free-run predict
     near the observation-noise floor (sampler-quality smoke on data with

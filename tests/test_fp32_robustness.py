@@ -20,6 +20,10 @@ see the negative-result note in model/conditionals.kernel_precal.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+# heavy compile/e2e module: excluded from the `-m quick` tier
+pytestmark = pytest.mark.slow
 
 
 def test_guard_defaults():

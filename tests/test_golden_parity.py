@@ -90,6 +90,7 @@ def test_gradients_match(golden):
                                    atol=1e-9, err_msg=name)
 
 
+@pytest.mark.slow
 def test_cached_conditional_matches(golden):
     params, data, collapse = setup_case(golden)
     pre = kernel_precal("SquaredExponential", params.kernel, params.z)
@@ -122,6 +123,7 @@ def test_collapsed_u_posterior_matches(golden):
                                rtol=1e-7, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_fp32_elbo_consistent_with_fp64():
     """Precision regression guard: the fp32 (TPU production) objective must
     track the fp64 (parity) objective to ~1e-4 relative at the warm start."""

@@ -177,6 +177,7 @@ def test_trainer_c7_no_adam():
 # Particle Gibbs
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_pg_resamples_trajectory():
     params, data = small_model()
     cfg = _mini_cfg(6, pg_particles=16)
@@ -211,6 +212,7 @@ def test_pg_compat_noop_leaves_x_at_init():
                               np.asarray(params.u))
 
 
+@pytest.mark.slow
 def test_pg_keeps_reference_with_prob_1_over_p():
     params, data = small_model()
     cfg = _mini_cfg(6, pg_particles=4)
@@ -224,6 +226,7 @@ def test_pg_keeps_reference_with_prob_1_over_p():
     assert 0.10 < frac < 0.45, frac   # expect ≈ 1/P = 0.25
 
 
+@pytest.mark.slow
 def test_pg_tracks_informative_observations():
     """With a near-noiseless emission y = x·C, resampled latent states should
     reproduce the observations much better than prior particles."""
@@ -240,6 +243,7 @@ def test_pg_tracks_informative_observations():
     assert np.mean(resid[5:] ** 2) < 0.5 * np.mean(prior_resid[5:] ** 2)
 
 
+@pytest.mark.slow
 def test_sghmc_log_clip_guards_overflow():
     """A log-hyperparameter started outside the clip box is pulled back in
     (the fp32 exp-overflow guard, FFVDConfig.sghmc_log_clip)."""
@@ -268,6 +272,7 @@ def test_clip_log_leaves_only_touches_log_paths():
     assert clip_log_leaves(big, None) is big
 
 
+@pytest.mark.slow
 def test_pg_matches_kalman_filter_marginals():
     """CSMC correctness against exact Gaussian inference: with kernel
     variance → 0 the GP transition vanishes and the implied model is a
@@ -323,6 +328,7 @@ def test_pg_matches_kalman_filter_marginals():
     assert err.max() < 0.12, (err.max(), pg_mean[:6], means[:6])
 
 
+@pytest.mark.slow
 def test_pg_ancestor_trace_matches_rts_smoother():
     """The ancestor-traced CSMC draws coherent trajectories from the
     smoothing posterior: on the conditionally-Gaussian random-walk model its
@@ -374,6 +380,7 @@ def test_pg_ancestor_trace_matches_rts_smoother():
     assert np.abs(ms[:5] - mf[:5]).max() > 0.15
 
 
+@pytest.mark.slow
 def test_hyperparameter_sampling_end_to_end():
     """hyperparameter_sampling=True trains end-to-end: log_Q, C, d and
     log_Rchol are SGHMC-SAMPLED (dgp_model.py:241-243), not Adam-trained.

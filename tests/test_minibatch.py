@@ -19,6 +19,9 @@ from ffvd_tpu.inference.trainer import Trainer
 from ffvd_tpu.model.elbo import elbo_terms, windowed_elbo_terms
 from ffvd_tpu.model.params import SSMData, init_params_random
 
+# heavy compile/e2e module: excluded from the `-m quick` tier
+pytestmark = pytest.mark.slow
+
 
 def _setup(n=48, m=12, x_dim=2, seed=0):
     ds = generate_kink(n=n, seed=seed)

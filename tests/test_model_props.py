@@ -82,6 +82,7 @@ def test_conditional_q_sqrt_adds_posterior_variance():
                                    rtol=1e-7, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_collapsed_posterior_minimizes_uncollapsed_nll():
     """∂nll_uncollapsed/∂U = 0 at U = collapsed posterior mean."""
     params, data = small_model()
@@ -96,6 +97,7 @@ def test_collapsed_posterior_minimizes_uncollapsed_nll():
     np.testing.assert_allclose(np.asarray(g.u), 0.0, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_collapsed_vs_point_estimate_gap_is_logdet():
     """At the optimal point estimate U* = H⁻¹a the quadratic pieces cancel
     and nll_uncollapsed(U*) − nll_collapsed = −½Σ_d log|H_d|/Y_N — the

@@ -144,6 +144,7 @@ def test_mvhermgauss_shapes():
     assert xs.shape == (7,) and abs(ws.sum() - np.sqrt(np.pi)) < 1e-10
 
 
+@pytest.mark.slow
 def test_chol_and_inv_matches_builtin_grads():
     from ffvd_tpu.ops.chol import chol_and_inv
     a = rng.randn(3, 7, 7)
@@ -170,6 +171,7 @@ def test_chol_and_inv_matches_builtin_grads():
                                atol=1e-10)
 
 
+@pytest.mark.slow
 def test_chol_and_inv_retry_path():
     from ffvd_tpu.ops.chol import chol_and_inv
     a = rng.randn(5, 5)
@@ -255,6 +257,7 @@ def test_chol_and_inv_vmap_grads():
     assert bool(jnp.all(jnp.isfinite(g)))
 
 
+@pytest.mark.slow
 def test_blocked_tri_inv_exact():
     """Blocked triangular inverse (MXU path for M>=256) is exact — same
     block elimination LAPACK trtri uses, not an iterative scheme."""
@@ -271,6 +274,7 @@ def test_blocked_tri_inv_exact():
                                    atol=1e-14)
 
 
+@pytest.mark.slow
 def test_chol_and_inv_m512_grads():
     """The dispatch threshold path (blocked inverse) keeps the matmul-only
     backward correct at M=512-shaped inputs (spot-check vs direct solve on

@@ -12,6 +12,9 @@ from ffvd_tpu.model.conditionals import kernel_precal
 from ffvd_tpu.ops.pallas_rollout import pallas_rollout
 from tests.test_model_props import small_model
 
+# heavy compile/e2e module: excluded from the `-m quick` tier
+pytestmark = pytest.mark.slow
+
 rng = np.random.RandomState(11)
 
 

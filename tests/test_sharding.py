@@ -10,6 +10,9 @@ from ffvd_tpu.inference.trainer import Trainer
 from ffvd_tpu.parallel import MultiChainTrainer, make_mesh, shard_chain_state
 from tests.test_model_props import small_model
 
+# heavy compile/e2e module: excluded from the `-m quick` tier
+pytestmark = pytest.mark.slow
+
 
 def test_mesh_shapes():
     mesh = make_mesh(8, x_dim=4)

@@ -177,6 +177,13 @@ def main():
         util = _hw_utilization(tr, st, 200, rate)
         if util:
             extra.update(util)
+        # ds64 accuracy mode at its production setting (drive C4 — the
+        # PARITY §2f budget-validation workload; VERDICT r3 item 1's done
+        # criterion is >=350 it/s steady at the shipped refine default).
+        tr, st = _build(FFVDConfig(dataset="drive", case=4,
+                                   collapse_precision="ds64"), dtype)
+        rate, _ = _steady_rate(tr, st, 500, jax.random.key(64))
+        extra["ds64_drive_c4_iters_per_sec_steady"] = round(rate, 2)
 
     out = {
         "metric": f"ffvd_train_iters_per_sec_ballbeam_c4_{platform}",

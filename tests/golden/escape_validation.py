@@ -66,6 +66,13 @@ def main():
         "hybrid": dict(collapse_precision="hybrid", ds64_refine=1),
     }[mode]
     suffix = f"_{mode}" if mode else ""
+    # hybrid tail-length sweep: FFVD_ESCAPE_TAIL=<iters> (default 500);
+    # non-default tails get their own tag (e.g. *_hybrid1000).
+    tail = int(os.environ.get("FFVD_ESCAPE_TAIL", "500"))
+    if mode == "hybrid":
+        cfg_kw["hybrid_tail_iters"] = tail
+        if tail != 500:
+            suffix = f"_hybrid{tail}"
     for ds, seeds in jobs.items():
         for seed in seeds:
             tag = f"{ds}_C5_s{seed}{suffix}"

@@ -248,20 +248,26 @@ class TestCholAndInv:
         np.testing.assert_allclose(ld, truth, rtol=1e-12)
 
     def test_ill_conditioned_beats_fp32(self):
-        # condition number ~1e7: fp32 chol loses ~half its digits
+        # condition number ~1e7: fp32 chol loses ~half its digits.  This is
+        # the edge the SECOND refinement round exists for (production
+        # default is refine=1 after the round-4 revalidation): one round
+        # lands ~1e-9, two rounds the dd floor.
         m = 48
         q, _ = np.linalg.qr(np.random.default_rng(11).standard_normal((m, m)))
         ev = np.logspace(-7, 0, m)
         a = (q * ev) @ q.T
         a = 0.5 * (a + a.T)
         a32 = a.astype(np.float32)[None]
-        l_ds, _ = ds.chol_and_inv(ds.lift(a32))
-        gl = np.asarray(ds.to_f64(l_ds))
-        res_ds = np.abs(lift64(a32) - gl @ gl.swapaxes(-1, -2)).max()
         l32 = np.linalg.cholesky(a32.astype(np.float32)).astype(np.float64)
         res_32 = np.abs(lift64(a32) - l32 @ l32.swapaxes(-1, -2)).max()
-        assert res_ds < 5e-12          # dd floor at cond ~1e7, scale ~1
-        assert res_ds < 1e-3 * res_32  # orders of magnitude beyond fp32
+        # one round: ~1e-9 at this edge (merely beats fp32); two rounds:
+        # dd floor, orders of magnitude beyond fp32
+        for refine, tol, vs32 in ((1, 3e-8, 1.0), (2, 5e-12, 1e-3)):
+            l_ds, _ = ds.chol_and_inv(ds.lift(a32), refine=refine)
+            gl = np.asarray(ds.to_f64(l_ds))
+            res_ds = np.abs(lift64(a32) - gl @ gl.swapaxes(-1, -2)).max()
+            assert res_ds < tol, (refine, res_ds)
+            assert res_ds < vs32 * res_32, (refine, res_ds, res_32)
 
     def test_retry_repairs_nonpsd_hi(self):
         # a matrix whose fp32 rounding is slightly indefinite

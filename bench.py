@@ -49,16 +49,20 @@ def _steady_rate(trainer, state, iters, key):
     import jax
     import jax.numpy as jnp
 
+    from ffvd_tpu.utils.timing import hard_sync
+
     # Warm-up with the SAME chunk length: run() compiles one fused program
     # per distinct chunk length, so a shorter warm-up would leave the timed
     # stretch to compile (this exact bug produced the bogus first-run extras
     # c2=81.9/c5=70.2/m512=140ms — vs true steady 394/190/?).
+    # hard_sync, NOT block_until_ready: the latter is a no-op on the axon
+    # backend (see ffvd_tpu/utils/timing.py).
     key, kw = jax.random.split(key)
     state, warm = trainer.run(state, iters, kw, chunk_size=iters)
-    jax.block_until_ready(warm)
+    hard_sync(warm)
     t0 = time.time()
     state, nlls = trainer.run(state, iters, key, chunk_size=iters)
-    jax.block_until_ready(nlls)
+    hard_sync(nlls)
     dt = time.time() - t0
     assert bool(jnp.all(jnp.isfinite(nlls))), "non-finite nll during bench"
     return iters / dt, state
@@ -129,14 +133,16 @@ def main():
     total = cfg.total_iterations          # 4000 (2000 CLI iterations)
     chunk = total                         # one fused program for the run
 
+    from ffvd_tpu.utils.timing import hard_sync
+
     # Warm-up: compile the fused chunk and run it once.
     key, kw = jax.random.split(key)
     state, warm = trainer.run(state, chunk, kw, chunk_size=chunk)
-    jax.block_until_ready(warm)
+    hard_sync(warm)
 
     t0 = time.time()
     state, nlls = trainer.run(state, total, key, chunk_size=chunk)
-    jax.block_until_ready(nlls)
+    hard_sync(nlls)
     dt = time.time() - t0
     iters_per_sec = total / dt
 

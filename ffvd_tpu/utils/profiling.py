@@ -16,6 +16,8 @@ from typing import List
 
 import jax
 
+from ffvd_tpu.utils.timing import hard_sync
+
 
 @contextlib.contextmanager
 def trace(logdir: str = "/tmp/ffvd_trace"):
@@ -41,7 +43,9 @@ class SectionTimer:
         t0 = time.time()
         yield
         if block_on is not None:
-            jax.block_until_ready(block_on)
+            # hard_sync, not block_until_ready — the latter is a no-op on
+            # the axon backend (ffvd_tpu/utils/timing.py).
+            hard_sync(block_on)
         dt = time.time() - t0
         self.sections[name] = self.sections.get(name, 0.0) + dt
         self.running_time_seq.append(dt)
@@ -51,10 +55,10 @@ def throughput(fn, *args, iters_per_call: int = 1, warmup: int = 1,
                repeats: int = 3):
     """(iters/sec, sec/call) of a blocking-sampled jitted callable."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        hard_sync(fn(*args))
     t0 = time.time()
     for _ in range(repeats):
         out = fn(*args)
-    jax.block_until_ready(out)
+    hard_sync(out)
     per_call = (time.time() - t0) / repeats
     return iters_per_call / per_call, per_call

@@ -21,13 +21,10 @@ import numpy as np
 
 
 def timeit(fn, *args, n=50):
-    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) else \
-        fn(*args).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3  # ms
+    # hard_sync, NOT block_until_ready — the latter is a no-op on the axon
+    # backend and produced the bogus r4 row (see ffvd_tpu/utils/timing.py).
+    from ffvd_tpu.utils.timing import timed_ms
+    return timed_ms(fn, *args, n=n)
 
 
 def main():
@@ -51,6 +48,13 @@ def main():
         if m % 64 == 0:
             rec[f"blocked_ms_M{m}"] = round(timeit(blocked, l), 4)
         rec[f"chol_and_inv_ms_M{m}"] = round(timeit(fused, spd), 4)
+        # In-program (dispatch-free) times — the number that matters inside
+        # the fused train step, where there is no per-dispatch floor.
+        from ffvd_tpu.utils.timing import in_program_ms
+        rec[f"inprog_direct_ms_M{m}"] = round(in_program_ms(direct, l), 4)
+        if m % 64 == 0:
+            rec[f"inprog_blocked_ms_M{m}"] = round(in_program_ms(blocked, l), 4)
+        rec[f"inprog_chol_and_inv_ms_M{m}"] = round(in_program_ms(fused, spd), 4)
         print({k: v for k, v in rec.items() if f"M{m}" in k}, flush=True)
 
     # full M=512 training step (ballbeam C4 shapes)
@@ -67,11 +71,12 @@ def main():
     keys = jax.random.split(jax.random.key(3), 100)
     # warm up with the SAME chunk length — a different scan length would
     # recompile inside the timed region
+    from ffvd_tpu.utils.timing import hard_sync
     state, _ = tr._run_chunk(state, keys, tr.data)
-    jax.block_until_ready(state.params.x)
+    hard_sync(state.params.x)
     t0 = time.perf_counter()
     state, nlls = tr._run_chunk(state, keys, tr.data)
-    jax.block_until_ready(nlls)
+    hard_sync(nlls)
     rec["train_step_M512_ms"] = round((time.perf_counter() - t0) / 100 * 1e3, 4)
     print("train_step_M512_ms:", rec["train_step_M512_ms"], flush=True)
 

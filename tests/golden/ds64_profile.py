@@ -33,6 +33,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 import jax
 import jax.numpy as jnp
 
+from ffvd_tpu.utils.timing import hard_sync
+
 HERE = Path(__file__).resolve().parent
 
 
@@ -54,11 +56,11 @@ def rate(iters=300):
     key, kw = jax.random.split(jax.random.key(0))
     t0 = time.time()
     state, warm = tr.run(state, iters, kw, chunk_size=iters)
-    jax.block_until_ready(warm)
+    hard_sync(warm)
     compile_s = time.time() - t0
     t0 = time.time()
     state, nlls = tr.run(state, iters, key, chunk_size=iters)
-    jax.block_until_ready(nlls)
+    hard_sync(nlls)
     dt = time.time() - t0
     return (round(iters / dt, 2), round(compile_s, 1),
             bool(jnp.all(jnp.isfinite(nlls))))

@@ -27,6 +27,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 import jax
 import jax.numpy as jnp
 
+from ffvd_tpu.utils.timing import hard_sync
+
 HERE = Path(__file__).resolve().parent
 ITERS = 1000
 
@@ -56,13 +58,13 @@ def run_traj(refine):
         key = jax.random.key(0)
         t0 = time.time()
         state, nlls = tr.run(state, ITERS, key, chunk_size=ITERS)
-        jax.block_until_ready(nlls)
+        hard_sync(nlls)
         wall = time.time() - t0
         # steady-state rate from a second chunk
         t0 = time.time()
         state, nlls2 = tr.run(state, ITERS, jax.random.key(1),
                               chunk_size=ITERS)
-        jax.block_until_ready(nlls2)
+        hard_sync(nlls2)
         rate = ITERS / (time.time() - t0)
         return (jnp.concatenate([nlls, nlls2]), round(rate, 2),
                 round(wall, 1))

@@ -84,6 +84,11 @@ def main():
             model = FFVDModel(cfg, dtype=jnp.float32)
             t0 = time.time()
             model.fit()
+            # hard boundary: don't let the last chunk's execution leak into
+            # the eval timing (block_until_ready is a no-op on axon —
+            # ffvd_tpu/utils/timing.py)
+            from ffvd_tpu.utils.timing import hard_sync
+            hard_sync(model.state.params.x)
             t1 = time.time()
             ev = model.evaluate()
             p = model.params

@@ -27,6 +27,8 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 
+from ffvd_tpu.utils.timing import hard_sync
+
 
 def main():
     ds = sys.argv[1] if len(sys.argv) > 1 else "flutter"
@@ -45,13 +47,13 @@ def main():
     model.state, nlls = model.trainer.run(model.state, 200,
                                           jax.random.key(99),
                                           chunk_size=200)
-    jax.block_until_ready(nlls)
+    hard_sync(nlls)
     compile_and_200 = time.time() - t0
     t0 = time.time()
     model.state, nlls = model.trainer.run(model.state, 200,
                                           jax.random.key(98),
                                           chunk_size=200)
-    jax.block_until_ready(nlls)
+    hard_sync(nlls)
     rate = 200 / (time.time() - t0)
     print(f"fp64 TPU C5 {ds}: {rate:.1f} it/s steady "
           f"(first 200 + compile: {compile_and_200:.0f}s)", flush=True)

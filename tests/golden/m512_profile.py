@@ -27,6 +27,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 import jax
 import jax.numpy as jnp
+
+from ffvd_tpu.utils.timing import hard_sync
 import numpy as np
 
 HERE = Path(__file__).resolve().parent
@@ -57,10 +59,10 @@ def build(swap=None):
 def timed_rate(tr, state):
     keys = jax.random.split(jax.random.key(0), ITERS)
     state2, _ = tr._run_chunk(state, keys, tr.data)      # compile+warm
-    jax.block_until_ready(state2.params.x)
+    hard_sync(state2.params.x)
     t0 = time.perf_counter()
     state3, nlls = tr._run_chunk(state2, keys, tr.data)
-    jax.block_until_ready(nlls)
+    hard_sync(nlls)
     return (time.perf_counter() - t0) / ITERS * 1e3      # ms/iter
 
 

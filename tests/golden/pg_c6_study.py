@@ -88,6 +88,11 @@ def main():
             key, sub = jax.random.split(key)
             _, st = stats_fn(model.params, sub, model.data)
             sweep_log.append({k: round(float(v), 5) for k, v in st.items()})
+        # TIMING RULE (TODO.md): block_until_ready is a no-op on axon — the
+        # float() readbacks in each sweep probe already force a sync per
+        # 400-iter segment, but pin the tail explicitly.
+        from ffvd_tpu.utils.timing import hard_sync
+        hard_sync(model.state.params.x)
         train_s = time.time() - t0
         ev = model.evaluate()
         agg = {k: round(float(np.mean([s[k] for s in sweep_log])), 5)

@@ -76,10 +76,15 @@ def build_argparser() -> argparse.ArgumentParser:
                         "variance slip (dim 0's q(U) factor applied to every "
                         "dim; conditionals_multi_output.py:322) for NLL "
                         "parity studies")
-    p.add_argument("--pg_ancestor_trace", action="store_true",
-                   help="use the ancestor-traced CSMC (coherent smoothing-"
-                        "posterior draws) instead of the reference's "
-                        "resampled-state storage")
+    p.add_argument("--pg_ancestor_trace", type=_str2bool, nargs="?",
+                   const=True, default=None,
+                   help="ancestor-traced CSMC (coherent smoothing-posterior "
+                        "draws) vs the reference's resampled-state storage "
+                        "('false').  Default: on — the 15-run C6 study "
+                        "(tests/golden/pg_c6_study.json, PARITY §2b) puts "
+                        "ancestor-trace in the reference's accuracy regime "
+                        "(ballbeam median 0.0064) and live CSMC 13-150x "
+                        "worse (auto-off under --pg_compat_noop)")
     p.add_argument("--pg_compat_noop", action="store_true",
                    help="bug-compat: the reference's PG op never updates X "
                         "(the assign at base_model.py:137 is not a "

@@ -147,8 +147,17 @@ class FFVDConfig:
     # Particle Gibbs: False = the reference's storage (resampled states per
     # time, no ancestry — trajectories are filtering-marginal patchworks,
     # base_model.py:83-133); True = proper ancestor-traced CSMC whose output
-    # is a coherent smoothing-posterior draw (beyond-parity upgrade).
-    pg_ancestor_trace: bool = False
+    # is a coherent smoothing-posterior draw.  None (default) resolves to
+    # True — ancestor tracing is the production default per the round-4
+    # 15-run study (tests/golden/pg_c6_study.json, PARITY §2b): ballbeam
+    # 5-seed RMSE median 0.0064, inside the reference's 0.0060-0.0083
+    # regime, vs live-CSMC 0.08-0.92 (13-150x worse — the patchwork
+    # trajectories inject incoherent dynamics every sweep) — except under
+    # pg_compat_noop, where it resolves to False (the PG update is an
+    # identity, so the mode choice is moot and the pair would otherwise be
+    # rejected as contradictory).  Pass False explicitly for the
+    # reference's live-CSMC storage semantics.
+    pg_ancestor_trace: Optional[bool] = None
     # Bug-compat: the reference's PG op NEVER updates X — PG_for_X_speedup
     # returns ``tf.ones(1)`` (base_model.py:138) and the
     # ``tf.compat.v1.assign`` at :137 is not a dependency of that fetch, so
@@ -252,7 +261,10 @@ class FFVDConfig:
             raise ValueError(
                 "sghmc_log_clip_lower must be < sghmc_log_clip "
                 f"({self.sghmc_log_clip_lower} >= {self.sghmc_log_clip})")
-        if self.pg_compat_noop and self.pg_ancestor_trace:
+        if self.pg_ancestor_trace is None:
+            object.__setattr__(self, "pg_ancestor_trace",
+                               not self.pg_compat_noop)
+        elif self.pg_compat_noop and self.pg_ancestor_trace:
             raise ValueError(
                 "pg_compat_noop and pg_ancestor_trace are mutually exclusive: "
                 "compat-noop makes the PG update an identity (the reference's "

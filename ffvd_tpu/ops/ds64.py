@@ -316,16 +316,17 @@ def dsum(x: DS, axis: int = -1) -> DS:
 _MM_CHUNK_ELEMS = 1 << 22   # ~4M f32 per product-tensor component
 
 # Default chol_and_inv refinement-round count when callers pass refine=None.
-# The swap-based attribution (tests/golden/ds64_profile.json r3) puts the
-# refinement loop at ~64% of the ds64 train step; refine=1 was probed at
-# 1.91x end-to-end with same-optimum convergence (r3_refine).  The default
-# stays 2 until the PARITY §2f revalidation (12k-iter budgets + flutter C5
-# 5-seed retrain) lands at refine=1 — see the round-4 `_ds64r1` arms in
-# fp32_stall_study.json / escape_validation.json.  refine=2 remains
+# refine=1: one Newton round on the fp32 Cholesky seed already reaches
+# ~3e-11 relative factor residual on healthily conditioned matrices
+# (test_chol_and_inv_refine1_beats_fp32_seed) and was revalidated at full
+# protocol in round 4 — flutter C5 5-seed median lands in the fp64 bracket
+# (escape_validation.json `_ds64r1` arms) and the drive 12k-iter budget
+# discriminator matches (fp32_stall_study.json) — at ~1.9x the end-to-end
+# throughput of refine=2 (ds64_profile.json r3_refine).  refine=2 remains
 # available per call (or FFVD_DS64_REFINE=2) for the ill-conditioned edge
 # the second round was built for (cond ~1e7: residual 1e-9 after one
 # round, dd-floor after two — tests/test_ds64.py).
-_DEFAULT_REFINE = 2
+_DEFAULT_REFINE = 1
 
 
 def set_default_refine(n: int) -> None:

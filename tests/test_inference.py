@@ -189,6 +189,17 @@ def test_pg_resamples_trajectory():
     np.testing.assert_array_equal(np.asarray(out.u), np.asarray(params.u))
 
 
+def test_pg_ancestor_trace_default_resolution():
+    """Ancestor-traced CSMC is the SHIPPED C6 default (PARITY §2b study:
+    reference-regime accuracy vs live CSMC 13-150x worse), resolved from
+    None so pg_compat_noop auto-disables it instead of conflicting."""
+    assert _mini_cfg(6).pg_ancestor_trace is True
+    assert _mini_cfg(6, pg_compat_noop=True).pg_ancestor_trace is False
+    assert _mini_cfg(6, pg_ancestor_trace=False).pg_ancestor_trace is False
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _mini_cfg(6, pg_compat_noop=True, pg_ancestor_trace=True)
+
+
 def test_pg_compat_noop_leaves_x_at_init():
     """The reference's PG op never updates X: its assign
     (base_model.py:137) is not a dependency of the returned tf.ones(1)
@@ -215,7 +226,10 @@ def test_pg_compat_noop_leaves_x_at_init():
 @pytest.mark.slow
 def test_pg_keeps_reference_with_prob_1_over_p():
     params, data = small_model()
-    cfg = _mini_cfg(6, pg_particles=4)
+    # live mode: the 1/P keep-probability comes from the final UNIFORM
+    # choice over the stored pool (reference semantics); the ancestor-trace
+    # default uses a weight-proportional final draw instead.
+    cfg = _mini_cfg(6, pg_particles=4, pg_ancestor_trace=False)
     pg = jax.jit(make_pg_fn(cfg, data))
     kept = 0
     trials = 200
@@ -235,7 +249,11 @@ def test_pg_tracks_informative_observations():
     params = dataclasses.replace(
         params, c=jnp.asarray([[1.0], [0.0]]), d=jnp.zeros(1),
         log_rchol=jnp.asarray([[np.log(0.05)]]))
-    cfg = _mini_cfg(6, pg_particles=64)
+    # live (reference-storage) semantics: per-time filtering resampling
+    # greedily tracks y_t; the ancestor-trace default draws a COHERENT
+    # smoothing trajectory that balances the (here: random, ill-fitting)
+    # transition prior, so this filtering-specific property needs live mode.
+    cfg = _mini_cfg(6, pg_particles=64, pg_ancestor_trace=False)
     pg = jax.jit(make_pg_fn(cfg, data))
     out = pg(params, jax.random.key(2))
     resid = np.asarray(out.x[1:, 0]) - np.asarray(data.y[:, 0])
@@ -303,7 +321,10 @@ def test_pg_matches_kalman_filter_marginals():
         log_rchol=jnp.asarray([[0.5 * np.log(r_var)]]))
     data = SSMData(y=jnp.asarray(y), control=jnp.zeros((2 * n, 0)))
 
-    cfg = _mini_cfg(6, pg_particles=128)
+    # live mode: the stored states ARE filtering-marginal draws (the
+    # property under test); ancestor tracing would draw smoothing marginals
+    # (validated against RTS below).
+    cfg = _mini_cfg(6, pg_particles=128, pg_ancestor_trace=False)
     pg = jax.jit(make_pg_fn(cfg, data))
     draws = jax.vmap(lambda k: pg(params, k).x)(
         jax.random.split(jax.random.key(0), 300))     # (300, n+1, 1)

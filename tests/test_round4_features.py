@@ -20,6 +20,16 @@ from ffvd_tpu.ops import ds64 as ds
 # ds64 refine knob
 # ---------------------------------------------------------------------------
 
+def test_shipped_default_refine_is_1(monkeypatch):
+    """Pin the SHIPPED default, not just the resolution mechanism: with no
+    env override and refine=None, chol_and_inv must run exactly one
+    refinement round (the round-4 revalidated default — VERDICT r4 item 1
+    flagged that the flip was documented but never landed)."""
+    monkeypatch.delenv("FFVD_DS64_REFINE", raising=False)
+    assert ds._DEFAULT_REFINE == 1
+    assert ds._resolve_refine(None) == 1
+
+
 def test_refine_resolution(monkeypatch):
     assert ds._resolve_refine(0) == 0
     assert ds._resolve_refine(1) == 1

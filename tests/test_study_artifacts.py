@@ -290,6 +290,68 @@ def test_hybrid_tail500_refuted(escape):
     assert statistics.median(hyb) > 1.0, hyb
 
 
+# ---- round-4/5 C6 statistical study (PARITY §2b) -----------------------
+
+@pytest.fixture(scope="module")
+def pg_study():
+    return _load("pg_c6_study.json")
+
+
+def test_c6_ancestor_trace_hits_reference_regime(pg_study, ref_e2e):
+    """PARITY §2b: ancestor-traced CSMC at the full C6 protocol reaches the
+    reference's accuracy regime on ballbeam — 5-seed RMSE median inside
+    [min, max] of the reference's recorded C6 runs (which are frozen-X
+    runs, the best this model family records there).  This is the evidence
+    behind pg_ancestor_trace defaulting to True."""
+    ours = sorted(pg_study[f"ballbeam_C6_ancestor_s{s}"]["rmse"]
+                  for s in range(5))
+    ref = [v["rmse"] for k, v in ref_e2e.items()
+           if k.startswith("ballbeam_C6") and "rmse" in v]
+    assert len(ref) >= 3
+    med = statistics.median(ours)
+    assert min(ref) <= med <= max(ref) + 0.005, (med, ref)
+    assert max(ours) < 0.015
+
+
+def test_c6_live_csmc_measurably_worse(pg_study):
+    """The live (reference-storage, no-ancestry) CSMC injects filtering-
+    marginal patchwork trajectories; at full protocol its ballbeam seeds
+    land 13-150x above ancestor trace — why live mode is no longer the
+    default (config.pg_ancestor_trace docs)."""
+    anc = statistics.median(pg_study[f"ballbeam_C6_ancestor_s{s}"]["rmse"]
+                            for s in range(5))
+    live = statistics.median(pg_study[f"ballbeam_C6_live_s{s}"]["rmse"]
+                             for s in range(5))
+    assert live > 10 * anc, (live, anc)
+
+
+def test_c6_mixing_diagnostics_healthy(pg_study):
+    """The ancestor-trace sampler is genuinely mixing at benchmark scale:
+    the reference particle survives resampling but does not dominate
+    (ref_survival well inside (0.5, 1)), and the pool keeps ~half its
+    members distinct per step (unique_frac ~ 0.5 >> 1/P = 0.01)."""
+    for ds in ("ballbeam", "drive"):
+        for s in range(5):
+            m = pg_study[f"{ds}_C6_ancestor_s{s}"]["mixing_mean"]
+            assert 0.5 < m["ref_survival"] < 0.95, (ds, s, m)
+            assert m["unique_frac"] > 0.3, (ds, s, m)
+            assert m["accepted"] == 1.0
+
+
+def test_c6_drive_s3_outlier_is_chain_level(pg_study):
+    """PARITY §2b fn 4: the drive ancestor-trace seed-3 RMSE 1.71 is a
+    chain-level outlier (worse optimum), not eval noise — the redraw probe
+    reproduced the chain bit-exactly (draw 1 == the recorded value) and
+    every independent eval draw of that chain stays >1.5; extension seeds
+    5-7 are all healthy (<0.75), bounding the outlier rate at 1/8."""
+    rd = pg_study["drive_C6_ancestor_s3_redraw"]
+    assert abs(rd["rmse_draws_num10"][0] - rd["recorded_outlier"]) < 1e-3
+    assert min(rd["rmse_draws_num10"]) > 1.4      # not an unlucky draw
+    assert rd["rmse_num40"] > 1.4
+    for s in (5, 6, 7):
+        assert pg_study[f"drive_C6_ancestor_s{s}"]["rmse"] < 0.75
+
+
 @pytest.fixture(scope="module")
 def tri_inv():
     return _load("tri_inv_timings.json")

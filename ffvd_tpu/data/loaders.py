@@ -7,11 +7,13 @@ a 50/50 chronological train/test split.
 
 Data files are read from ``$FFVD_DATA_DIR`` (default: the upstream
 ``data/`` directory if present next to ``$FFVD_REFERENCE_DIR`` or at
-/root/reference).  Two SMALL datasets (gas_furnace 296 rows, ballbeam 1000
-rows) plus their default warm starts are vendored under
-``ffvd_tpu/data/vendored/`` so a fresh clone runs the quickstart and the
-fast test tier fully offline (see vendored/MANIFEST.json for provenance);
-the remaining four datasets still need an upstream checkout or
+/root/reference).  All SIX datasets plus their default (file_id=3) warm
+starts are vendored under ``ffvd_tpu/data/vendored/`` (~350 KB total;
+warm starts in the reduced-npz form proven bit-identical through
+``init_params_from_warmstart``) so a fresh clone runs every benchmark
+fully offline — see vendored/MANIFEST.json for provenance and
+``scripts/vendor_warmstart.py`` for the reduction.  Non-default warm
+starts (file_id != 3) still need an upstream checkout or
 ``scripts/fetch_data.sh``.
 """
 
@@ -70,7 +72,7 @@ def _read_raw(name: str, root: Optional[Path] = None):
     root = root or data_dir()
     path = root / fname
     if not path.exists() and root == data_dir():
-        # Offline fallback: two small datasets ship in-tree (module
+        # Offline fallback: all six datasets ship in-tree (module
         # docstring / vendored/MANIFEST.json).  An explicit ``root``
         # argument is never silently redirected.
         vendored = VENDORED_DIR / fname
@@ -78,11 +80,9 @@ def _read_raw(name: str, root: Optional[Path] = None):
             path = vendored
     if not path.exists():
         raise FileNotFoundError(
-            f"dataset file {path} not found and not in the vendored set "
-            f"({sorted(p.name for p in VENDORED_DIR.glob('*.dat'))} + "
-            "gas_furnace.csv). For the remaining datasets point "
-            "$FFVD_DATA_DIR at the data/ directory of an upstream FFVD "
-            "checkout (github.com/xuhuifan/FFVD), or run "
+            f"dataset file {path} not found and not in the vendored set. "
+            "Point $FFVD_DATA_DIR at the data/ directory of an upstream "
+            "FFVD checkout (github.com/xuhuifan/FFVD), or run "
             "scripts/fetch_data.sh to clone it (README.md 'Data "
             "provenance').")
     if kind == "dat":

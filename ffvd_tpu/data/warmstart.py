@@ -43,10 +43,10 @@ def list_warmstarts(dataset: str, root: Optional[Path] = None) -> List[str]:
 
 def _vendored_warmstart(dataset: str, file_id: int) -> Optional[str]:
     """Offline fallback: the vendored set ships the DEFAULT warm start
-    (file_id=3) for gas_furnace and ballbeam (see
-    data/vendored/MANIFEST.json; x_samples_training is pre-reduced to its
-    posterior mean, which init_params_from_warmstart's mean over the sample
-    axis reproduces bit-identically)."""
+    (file_id=3) for all six datasets (see data/vendored/MANIFEST.json;
+    x_samples_training is pre-reduced to its posterior mean, which
+    init_params_from_warmstart's mean over the sample axis reproduces
+    bit-identically — scripts/vendor_warmstart.py)."""
     import json
     from ffvd_tpu.data.loaders import VENDORED_DIR
     manifest = VENDORED_DIR / "MANIFEST.json"
@@ -72,10 +72,11 @@ def load_warmstart(dataset: str, file_id: int = 3,
     if not files:
         raise FileNotFoundError(
             f"no warm-start npz for {dataset!r} under "
-            f"{root or warmstart_dir()} and no vendored fallback (only "
-            "gas_furnace/ballbeam at file_id=3 ship in-tree — "
-            "data/vendored/MANIFEST.json): point $FFVD_WARMSTART_DIR at "
-            "the Factnonlin_ini/ directory of an upstream FFVD checkout "
+            f"{root or warmstart_dir()} and no vendored fallback (the "
+            "default file_id=3 warm start ships in-tree for all six "
+            "datasets — data/vendored/MANIFEST.json; other file_ids need "
+            "a checkout): point $FFVD_WARMSTART_DIR at the "
+            "Factnonlin_ini/ directory of an upstream FFVD checkout "
             "(github.com/xuhuifan/FFVD), or run scripts/fetch_data.sh to "
             "clone it (README.md 'Data provenance').")
     if not 0 <= file_id < len(files):

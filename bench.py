@@ -183,6 +183,34 @@ def main():
         util = _hw_utilization(tr, st, 200, rate)
         if util:
             extra.update(util)
+        # BASELINE config 5: all six datasets x M=512 in ONE jit (padded +
+        # masked + vmapped).  Steady-state, hard-synced (the 21.6 ms PARITY
+        # §3 record was a pre-r4 short-window number; VERDICT r4 item 4).
+        try:
+            from ffvd_tpu.config import DATASETS
+            from ffvd_tpu.parallel.multidataset import (MultiDatasetTrainer,
+                                                        stack_datasets)
+            from ffvd_tpu.utils.timing import hard_sync
+            sdata, sparams, _ = stack_datasets(DATASETS, m=512, dtype=dtype)
+            mdt = MultiDatasetTrainer(
+                FFVDConfig(dataset="ballbeam", case=4, num_inducing=512),
+                sdata)
+            mstate = mdt.init_state(sparams)
+            mkey = jax.random.key(6512)
+            mkey, mw = jax.random.split(mkey)
+            mstate, warm = mdt.run(mstate, 200, mw, chunk_size=200)
+            hard_sync(warm)
+            t6 = time.time()
+            mstate, mn = mdt.run(mstate, 200, mkey, chunk_size=200)
+            hard_sync(mn)
+            dt6 = time.time() - t6
+            assert bool(jnp.all(jnp.isfinite(mn))), "non-finite 6-ds nll"
+            extra["six_ds_m512_ms_per_6model_iter_steady"] = round(
+                dt6 / 200 * 1e3, 3)
+            extra["six_ds_m512_aggregate_iters_per_sec"] = round(
+                6 * 200 / dt6, 1)
+        except FileNotFoundError:
+            pass   # datasets unavailable (offline partial checkout)
         # ds64 accuracy mode at its production setting (drive C4 — the
         # PARITY §2f budget-validation workload; VERDICT r3 item 1's done
         # criterion is >=350 it/s steady at the shipped refine default).

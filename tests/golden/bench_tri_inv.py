@@ -69,16 +69,26 @@ def main():
     tr = Trainer(cfg, data)
     state = tr.init_state(params)
     keys = jax.random.split(jax.random.key(3), 100)
-    # warm up with the SAME chunk length — a different scan length would
-    # recompile inside the timed region
+    # Warm up with the SAME chunk length — a different scan length would
+    # recompile inside the timed region — and warm TWICE: the round-5
+    # reconciliation (m512_reconcile.json + DESIGN §14) measured a
+    # one-time ~550 ms overhead on the SECOND execution of a fresh
+    # process (8.2 ms/iter over a 100-iter chunk, then 2.7 steady).  The
+    # r4 row's train_step_M512_ms = 8.90 was exactly this: one warm, one
+    # timed run.  Timing now records the median of 3 repeated synced runs.
     from ffvd_tpu.utils.timing import hard_sync
-    state, _ = tr._run_chunk(state, keys, tr.data)
-    hard_sync(state.params.x)
-    t0 = time.perf_counter()
-    state, nlls = tr._run_chunk(state, keys, tr.data)
-    hard_sync(nlls)
-    rec["train_step_M512_ms"] = round((time.perf_counter() - t0) / 100 * 1e3, 4)
-    print("train_step_M512_ms:", rec["train_step_M512_ms"], flush=True)
+    for _ in range(2):
+        state, warm_nlls = tr._run_chunk(state, keys, tr.data)
+        hard_sync(warm_nlls)
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, nlls = tr._run_chunk(state, keys, tr.data)
+        hard_sync(nlls)
+        reps.append((time.perf_counter() - t0) / 100 * 1e3)
+    rec["train_step_M512_ms"] = round(sorted(reps)[1], 4)
+    rec["train_step_M512_ms_reps"] = [round(r, 4) for r in reps]
+    print("train_step_M512_ms:", rec["train_step_M512_ms"], reps, flush=True)
 
     out = Path(__file__).parent / "tri_inv_timings.json"
     prev = json.loads(out.read_text()) if out.exists() else {}

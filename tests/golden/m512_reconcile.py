@@ -80,12 +80,11 @@ def _tri_inv_setup():
 def _retry_probe(trainer, state):
     """First-attempt Cholesky health of the two PSD factorizations the
     step performs (Kmm gram; collapsed H) at these parameters."""
-    from ffvd_tpu.model.conditionals import gram
-    from ffvd_tpu.ops.kernels import make_kernel
+    from ffvd_tpu.ops.kernels import gram
 
     p = state.params
-    kern = make_kernel(trainer.cfg.kernel_type)
-    kmm = gram(kern, p.kernel, p.z, jitter=trainer.cfg.jitter)
+    kmm = gram(trainer.cfg.kernel_type, p.kernel, p.z)
+    kmm = kmm + trainer.cfg.jitter * jnp.eye(kmm.shape[-1], dtype=kmm.dtype)
     l0 = jnp.linalg.cholesky(kmm)
     kmm64 = np.asarray(kmm, np.float64)
     cond = float(np.max(np.linalg.cond(kmm64)))
@@ -93,7 +92,7 @@ def _retry_probe(trainer, state):
         "kmm_first_chol_finite": bool(jnp.all(jnp.isfinite(l0))),
         "kmm_cond_max": cond,
         "kernel_logvar": [round(float(v), 3)
-                          for v in np.ravel(np.asarray(p.kernel.logvariance))],
+                          for v in np.ravel(np.asarray(p.kernel.log_variance))],
     }
 
 

@@ -357,6 +357,33 @@ def tri_inv():
     return _load("tri_inv_timings.json")
 
 
+@pytest.fixture(scope="module")
+def m512():
+    return _load("m512_reconcile.json")
+
+
+def test_m512_reconciliation(m512, tri_inv):
+    """PARITY §3 fn 6 / DESIGN §14 round-5: ONE M=512 step-time number.
+    The steady cost is ~2.7 ms/iter — every chunk-length-differenced
+    estimate across all four param/data setups lands in [2.0, 3.5] ms,
+    the repeated-execution six-dataset M=512 reps agree (~15 ms per
+    6-model iteration), and the re-measured tri_inv r5 row (two warm
+    executions + 3-rep median) no longer shows the 8.90 artifact."""
+    r5 = m512["r5"]
+    for setup in ("bench_setup", "random_setup", "bench_params_random_data",
+                  "random_params_real_data"):
+        d = r5[setup]["ms_per_iter_differenced"]
+        assert 2.0 < d < 3.5, (setup, d)
+        assert r5[setup]["nll_finite_chunk1000"]
+    # steady executions of the exact tri_inv program: ~2.7 ms/iter
+    steady = r5["exec_series_ms"]["M512_chunk100_after_m100"][1:]
+    assert all(250 < ms < 320 for ms in steady), steady
+    assert tri_inv["r5"]["train_step_M512_ms"] < 4.0
+    # and the retry-branch probe: param content does not move the time
+    # even when the first-attempt factorization fails (cond ~2e10)
+    assert not r5["bench_setup"]["retry_probe_init"]["kmm_first_chol_finite"]
+
+
 def test_tri_inv_r4_inprogram_row(tri_inv):
     """Round-4 re-measure (TODO cadence): the r4 row must carry the
     IN-PROGRAM numbers (dispatch-floor-free; ffvd_tpu/utils/timing.py)

@@ -220,10 +220,14 @@ class FFVDConfig:
     # training, ≳3× the reference protocol length).  "hybrid": native fp32
     # for the burn-in, ds64 for the last ``hybrid_tail_iters`` of the run
     # (api.FFVDModel.fit) — the measured bias is a NEAR-OPTIMUM phenomenon
-    # (DESIGN §12), so paying the ds64 cost only for the tail buys the same
-    # optimum at a fraction of the cost; eval-side collapse/precal run ds64
-    # in both modes.  Collapsed cases (C4/C5) only; ignored when the case
-    # keeps U uncollapsed.
+    # (DESIGN §12), so the tail-only schedule pays the ds64 cost where it
+    # matters.  Measured scope (PARITY §2d round-4/5 addenda): COLD starts
+    # only — there the tail closes ~84% of the native→ds64 learned-Q gap
+    # at 1/8 the ds64 iterations (hybrid_coldstart_study.json); for
+    # WARM-started runs the whole trajectory sits in the biased region and
+    # the tail buys nothing — use native or full ds64.  Eval-side
+    # collapse/precal run ds64 in both modes.  Collapsed cases (C4/C5)
+    # only; ignored when the case keeps U uncollapsed.
     collapse_precision: str = "native"
     # chol_and_inv refinement rounds for the ds64 segment.  None = the
     # ops/ds64 module default (see ds64._DEFAULT_REFINE — production 1

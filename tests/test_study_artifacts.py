@@ -338,6 +338,35 @@ def test_c6_mixing_diagnostics_healthy(pg_study):
             assert m["accepted"] == 1.0
 
 
+@pytest.fixture(scope="module")
+def coldstart():
+    return _load("hybrid_coldstart_study.json")
+
+
+def test_hybrid_coldstart_rationale_validated(coldstart):
+    """VERDICT r4 item 7: the hybrid mode's kept-for-cold-starts rationale,
+    tested (kink cold start, 5 seeds x {native, ds64, hybrid}).  The
+    decision evidence: hybrid's learned Q lands in the ds64 arm's band on
+    every seed, DISJOINT from native's band (the 500-iter ds64 tail pulls
+    the cold-start optimum into the unbiased regime), and its ds64-ruler
+    nll sits between native and ds64.  Hybrid therefore stays — for COLD
+    starts; the warm-start refutation (test_hybrid_tail500_refuted)
+    stands."""
+    def arm(name, field):
+        return [coldstart[f"kink_cold_{name}_s{s}"][field] for s in range(5)]
+
+    q_nat, q_ds, q_hyb = (arm(a, "Q") for a in ("native", "ds64", "hybrid"))
+    q_nat = [q[0] for q in q_nat]
+    q_ds = [q[0] for q in q_ds]
+    q_hyb = [q[0] for q in q_hyb]
+    assert max(q_hyb) < min(q_nat), (q_hyb, q_nat)   # disjoint bands
+    assert max(q_hyb) < 1.25 * max(q_ds)             # inside/near ds64 band
+    n_nat = statistics.median(arm("native", "nll_final_ds64_bound"))
+    n_ds = statistics.median(arm("ds64", "nll_final_ds64_bound"))
+    n_hyb = statistics.median(arm("hybrid", "nll_final_ds64_bound"))
+    assert n_ds < n_hyb < n_nat, (n_ds, n_hyb, n_nat)
+
+
 def test_c6_drive_s3_outlier_is_chain_level(pg_study):
     """PARITY §2b fn 4: the drive ancestor-trace seed-3 RMSE 1.71 is a
     chain-level outlier (worse optimum), not eval noise — the redraw probe

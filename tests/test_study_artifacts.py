@@ -413,6 +413,20 @@ def test_m512_reconciliation(m512, tri_inv):
     assert not r5["bench_setup"]["retry_probe_init"]["kmm_first_chol_finite"]
 
 
+def test_m512_roofline_inputs_pinned():
+    """DESIGN §14's roofline inputs are recorded artifacts (VERDICT r4
+    weak #5): FLOPs/bytes per iteration from the TPU-compiled program's
+    cost analysis, plus the component attribution."""
+    r5 = _load("m512_profile.json")["r5"]
+    assert r5["platform"] == "tpu"
+    assert 5e7 < r5["flops_per_iter"] < 5e8
+    assert 1e6 < r5["bytes_per_iter"] < 5e7
+    # collapse terms dominate; every share is a real fraction
+    assert r5["no_collapse_terms_share"] > 0.5
+    for k in ("no_chol_and_inv", "no_se_gram", "no_emission"):
+        assert 0.0 < r5[f"{k}_share"] < 1.0
+
+
 def test_tri_inv_r4_inprogram_row(tri_inv):
     """Round-4 re-measure (TODO cadence): the r4 row must carry the
     IN-PROGRAM numbers (dispatch-floor-free; ffvd_tpu/utils/timing.py)

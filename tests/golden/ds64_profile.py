@@ -91,11 +91,17 @@ def main():
     def chol_refine0(a, refine=2, **kw):
         return orig_chol(a, refine=0, **kw)
 
-    out = {"platform": jax.default_backend(),
-           "workload": "drive C4 ds64 train step, M=100, 300 steady iters",
-           "note": "variants are precision-breaking timing stand-ins"}
+    path = HERE / "ds64_profile.json"
+    data = json.loads(path.read_text()) if path.exists() else {}
+    out = data.get(tag) or {
+        "platform": jax.default_backend(),
+        "workload": "drive C4 ds64 train step, M=100, 300 steady iters",
+        "note": "variants are precision-breaking timing stand-ins"}
 
     def run(name, patches=(), matmul=None):
+        if name in out:                      # resume-safe across timeouts
+            print("skip", name, out[name], flush=True)
+            return
         from contextlib import ExitStack
         with ExitStack() as st:
             for pname, fn in patches:
@@ -109,6 +115,8 @@ def main():
                     ds.set_matmul_impl("auto")
         out[name] = {"it_per_s": it_s, "compile_s": compile_s,
                      "finite": finite}
+        data[tag] = out
+        path.write_text(json.dumps(data, indent=1))
         print(name, out[name], flush=True)
 
     run("baseline")
@@ -119,10 +127,6 @@ def main():
     run("all_f32", [("exp", exp_f32), ("log", log_f32),
                     ("chol_and_inv", chol_refine0)])
 
-    path = HERE / "ds64_profile.json"
-    data = json.loads(path.read_text()) if path.exists() else {}
-    data[tag] = out
-    path.write_text(json.dumps(data, indent=1))
     print("wrote", path)
 
 

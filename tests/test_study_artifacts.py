@@ -247,6 +247,23 @@ def test_ds64_time_attribution_recorded(profile):
     assert all(v["finite"] for k, v in p.items() if isinstance(v, dict))
 
 
+def test_ds64_refine1_attribution_floor(profile):
+    """PARITY §2d round-5 closure: at the SHIPPED refine=1 default the
+    remaining ds64 cost decomposes into the dd floor plus exactly one
+    Newton round — all_f32 (exp+log fp32 AND refine 0) times the same as
+    chol_refine0 alone, so nothing else is left to cut, and the ~13x
+    flutter C5 accuracy cost is a measured floor, not a tuning gap."""
+    p = profile["r5_refine1"]
+    base = p["baseline"]["it_per_s"]
+    assert base > 350                       # the refine=1 flip's win
+    assert p["chol_refine0"]["it_per_s"] > 1.3 * base
+    assert abs(p["all_f32"]["it_per_s"] - p["chol_refine0"]["it_per_s"]) \
+        < 0.1 * p["chol_refine0"]["it_per_s"]
+    assert p["exp_f32"]["it_per_s"] < 1.1 * base
+    assert p["matmul_vpu"]["it_per_s"] < 0.5 * base
+    assert all(v["finite"] for v in p.values() if isinstance(v, dict))
+
+
 def test_ds64_refine1_probe_same_optimum(profile):
     """The refine=1 candidate (round 4): ~1.9x the shipped refine=2
     throughput AND same-optimum convergence over 2000 drive C4 iters

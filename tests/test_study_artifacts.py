@@ -194,6 +194,20 @@ def test_ds64_flutter_beats_fp32(stall):
     assert ds64["budget_s2C2"] < 0.25 * fp32["budget_s2C2"]
 
 
+def test_ds64r1_eval_spread_recorded(stall):
+    """The refine=1 12k point's single-draw RMSE 4.38 (which sits outside
+    the refine=2 point's 0.89-1.63 two-draw record) is draw-lottery, not a
+    worse optimum: six independent rollouts of the SAME retrained chain
+    span 1.29-4.38 with the recorded value as the first (bit-reproducible)
+    and worst draw — §2f's pin-training-determined-quantities rule stands
+    (`ds64r1_eval_spread.py`)."""
+    rec = stall["drive_long12k_s1_ds64r1"]
+    draws = rec["rmse_draws"]
+    assert len(draws) >= 6
+    assert abs(draws[0] - rec["rmse"]) < 1e-3     # bit-reproducible retrain
+    assert min(draws) < 1.5 < 4.0 < max(draws)    # wide draw spread
+
+
 def test_ds64_tpu_throughput_recorded(stall):
     """The ds64 cost on the chip stays within ~15x of native fp32 (12k
     iters in <300s incl. compile — extended-training regimes remain
@@ -340,6 +354,18 @@ def test_c6_live_csmc_measurably_worse(pg_study):
     live = statistics.median(pg_study[f"ballbeam_C6_live_s{s}"]["rmse"]
                              for s in range(5))
     assert live > 10 * anc, (live, anc)
+
+
+def test_c6_live_p500_does_not_rescue(pg_study):
+    """PARITY §2b round-5 sweep: 5x the particle budget improves live
+    CSMC's ballbeam median ~2x but leaves it >20x above ancestor trace —
+    the patchwork storage, not degeneracy, is the binding constraint, so
+    ancestor trace is strictly dominant at any affordable P."""
+    p500 = sorted(pg_study[f"ballbeam_C6_liveP500_s{s}"]["rmse"]
+                  for s in range(3))
+    anc = statistics.median(pg_study[f"ballbeam_C6_ancestor_s{s}"]["rmse"]
+                            for s in range(5))
+    assert p500[1] > 20 * anc, (p500, anc)
 
 
 def test_c6_mixing_diagnostics_healthy(pg_study):

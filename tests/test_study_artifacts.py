@@ -381,6 +381,25 @@ def test_c6_mixing_diagnostics_healthy(pg_study):
             assert m["accepted"] == 1.0
 
 
+def test_c2_c3_seed_populations(ref_e2e):
+    """PARITY §2b round-5 seed extension: C2's 9-seed population (median
+    ~5x the reference's 3-run median — the honest fp32-sampler-noise
+    picture) and C3's 6-seed population (median ~10x BETTER than the
+    reference's 0.1897)."""
+    ours = _load("ours_e2e_tpu_fp32.json")
+    c2 = [ours["ballbeam_C2"]["rmse"]] + \
+         [ours[f"ballbeam_C2_seed{s}"]["rmse"] for s in range(1, 9)]
+    assert len(c2) == 9
+    ref_c2 = [v["rmse"] for k, v in ref_e2e.items()
+              if k.startswith("ballbeam_C2")]
+    assert statistics.median(c2) > statistics.median(ref_c2)   # honest
+    assert min(c2) < 1.5 * min(ref_c2)          # best seeds do match
+    c3 = [ours["ballbeam_C3"]["rmse"]] + \
+         [ours[f"ballbeam_C3_seed{s}"]["rmse"] for s in range(1, 6)]
+    assert len(c3) == 6
+    assert statistics.median(c3) < 0.1897 / 5   # ref's only C3 run
+
+
 @pytest.fixture(scope="module")
 def coldstart():
     return _load("hybrid_coldstart_study.json")

@@ -400,6 +400,29 @@ def test_c2_c3_seed_populations(ref_e2e):
     assert statistics.median(c3) < 0.1897 / 5   # ref's only C3 run
 
 
+def test_c2_noise_not_factorization_error():
+    """PARITY §2b fn 5 (c): substituting the dd-refined Kmm factorization
+    into every C2 gradient evaluation does not tighten the seed spread
+    (matched seeds diverge in both directions) — the C2 noise is SGHMC
+    chain variation, not fp32 factor error, and ds64 correctly stays out
+    of the uncollapsed path."""
+    st = _load("c2_precision_study.json")
+    nat = [st[f"ballbeam_C2_native_s{s}"]["rmse"] for s in range(20, 25)]
+    dsp = [st[f"ballbeam_C2_dsprecal_s{s}"]["rmse"] for s in range(20, 25)]
+    assert len(nat) == len(dsp) == 5
+    # no improvement: dd-precal's spread is not tighter than native's
+    assert max(dsp) - min(dsp) > 0.5 * (max(nat) - min(nat))
+    assert statistics.median(dsp) > 0.5 * statistics.median(nat)
+    # and it costs ~10x
+    t_nat = statistics.median(
+        st[f"ballbeam_C2_native_s{s}"]["train_time_sec"]
+        for s in range(20, 25))
+    t_dsp = statistics.median(
+        st[f"ballbeam_C2_dsprecal_s{s}"]["train_time_sec"]
+        for s in range(20, 25))
+    assert t_dsp > 3 * t_nat
+
+
 @pytest.fixture(scope="module")
 def coldstart():
     return _load("hybrid_coldstart_study.json")

@@ -75,3 +75,24 @@ def test_cli_log_clip_parsing():
     # 'none' lower mirrors -upper (config property handles the mirroring)
     assert _log_clip_kwargs("10", "none") == {
         "sghmc_log_clip": 10.0, "sghmc_log_clip_lower": None}
+
+
+def test_cli_pg_ancestor_trace_flag_forms():
+    """The round-5 flag forms: absent -> None (config resolves to True);
+    bare -> True; explicit booleans parse; the compat pairing stays
+    constructible through the CLI (noop + absent trace)."""
+    from ffvd_tpu.cli import build_argparser
+    from ffvd_tpu.config import FFVDConfig
+
+    p = build_argparser()
+    assert p.parse_args([]).pg_ancestor_trace is None
+    assert p.parse_args(["--pg_ancestor_trace"]).pg_ancestor_trace is True
+    assert p.parse_args(
+        ["--pg_ancestor_trace", "false"]).pg_ancestor_trace is False
+    assert p.parse_args(
+        ["--pg_ancestor_trace", "true"]).pg_ancestor_trace is True
+    # absent flag + compat noop resolves without the mutual-exclusion error
+    cfg = FFVDConfig(case=6, pg_compat_noop=True,
+                     pg_ancestor_trace=p.parse_args(
+                         ["--pg_compat_noop"]).pg_ancestor_trace)
+    assert cfg.pg_ancestor_trace is False

@@ -85,6 +85,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "ancestor-trace in the reference's accuracy regime "
                         "(ballbeam median 0.0064) and live CSMC 13-150x "
                         "worse (auto-off under --pg_compat_noop)")
+    p.add_argument("--pg_particles", type=int, default=100,
+                   help="CSMC pool size (reference hardcodes 100, "
+                        "base_model.py:78).  The particle axis is vmapped "
+                        "— on TPU 500 costs ~13%% wall-clock and removes "
+                        "the drive chain-outlier lottery (PARITY 2b)")
     p.add_argument("--pg_compat_noop", action="store_true",
                    help="bug-compat: the reference's PG op never updates X "
                         "(the assign at base_model.py:137 is not a "
@@ -120,8 +125,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "TPUs (extended-training regimes; DESIGN.md §12); "
                         "'hybrid' runs native fp32 burn-in and switches to "
                         "ds64 for the last --hybrid_tail_iters iterations "
-                        "(the bias is a near-optimum phenomenon) — fp64-"
-                        "bracket accuracy at a fraction of the ds64 cost")
+                        "— for COLD starts only (there it closes ~84%% of "
+                        "the native-to-ds64 gap at 1/8 the cost; for warm "
+                        "starts it buys nothing — PARITY 2d)")
     p.add_argument("--hybrid_tail_iters", type=int, default=500,
                    help="length of the ds64 tail under "
                         "--collapse_precision hybrid (outer iterations)")
@@ -195,7 +201,8 @@ def main(argv=None):
         prior_type=args.prior_type, kernel_type=args.kernel_type,
         kernel_train_flag=args.kernel_train_flag, file_id=args.file_id,
         hyperparameter_sampling=args.hyperparameter_sampling,
-        prng_impl=args.prng_impl, pg_particles=100, seed=args.seed,
+        prng_impl=args.prng_impl, pg_particles=args.pg_particles,
+        seed=args.seed,
         minibatch_size=args.minibatch_size, n_layers=args.n_layers,
         rollout_qsqrt_dim0=args.rollout_qsqrt_dim0,
         pg_compat_noop=args.pg_compat_noop,

@@ -82,6 +82,12 @@ class FFVDConfig:
     epsilon: float = 0.01           # SGHMC step size (FFVD_Main.py:343)
     mdecay: float = 0.05            # SGHMC momentum decay (dgp_model.py:161)
     adam_lr: float = 0.003          # base lr; effective lr = 0.003*0.95^(1/1000)
+    # CSMC pool size.  100 = the reference's hardcoded CPU-era value
+    # (base_model.py:78), kept for parity.  The particle axis is vmapped,
+    # so on TPU a 5x budget costs ~13% wall-clock and measurably pays on
+    # hard datasets: drive ancestor-trace at P=500 removed the 1-in-8
+    # worse-optimum chain outlier (PARITY §2b, drive_C6_ancestorP500_s*)
+    # — use 500 for production runs there.
     pg_particles: int = 100
     jitter: float = 1e-5            # Kmm jitter (conditionals_multi_output.py:108)
     # fp32 guards for the sampler (the fp64 reference merely wanders through

@@ -368,6 +368,24 @@ def test_c6_live_p500_does_not_rescue(pg_study):
     assert p500[1] > 20 * anc, (p500, anc)
 
 
+def test_c6_ancestor_p500_removes_drive_outlier(pg_study):
+    """PARITY §2b: P=500 on the ancestor-trace side fixes the drive
+    seed-3 worse-optimum chain (1.71 -> 0.55) and keeps every seed under
+    0.65, at near-free TPU cost (vmapped particle axis) — the measured
+    basis for the --pg_particles 500 production recommendation."""
+    p500 = [pg_study[f"drive_C6_ancestorP500_s{s}"]["rmse"]
+            for s in range(5)]
+    assert max(p500) < 0.65, p500
+    assert pg_study["drive_C6_ancestor_s3"]["rmse"] > 1.5   # the outlier
+    t100 = statistics.median(
+        pg_study[f"drive_C6_ancestor_s{s}"]["train_time_sec"]
+        for s in range(1, 5))    # s0 carries first-process compile
+    t500 = statistics.median(
+        pg_study[f"drive_C6_ancestorP500_s{s}"]["train_time_sec"]
+        for s in range(1, 5))
+    assert t500 < 1.5 * t100, (t500, t100)
+
+
 def test_c6_mixing_diagnostics_healthy(pg_study):
     """The ancestor-trace sampler is genuinely mixing at benchmark scale:
     the reference particle survives resampling but does not dominate

@@ -384,6 +384,10 @@ def test_c6_ancestor_p500_removes_drive_outlier(pg_study):
         pg_study[f"drive_C6_ancestorP500_s{s}"]["train_time_sec"]
         for s in range(1, 5))
     assert t500 < 1.5 * t100, (t500, t100)
+    # and regression-free on the easy dataset (same accuracy regime)
+    bb = [pg_study[f"ballbeam_C6_ancestorP500_s{s}"]["rmse"]
+          for s in range(3)]
+    assert max(bb) < 0.015, bb
 
 
 def test_c6_mixing_diagnostics_healthy(pg_study):

@@ -368,6 +368,23 @@ def test_c6_live_p500_does_not_rescue(pg_study):
     assert p500[1] > 20 * anc, (p500, anc)
 
 
+def test_c6_full_dataset_matrix(pg_study):
+    """PARITY §2b round-5 coverage: C6 ancestor-trace runs on every
+    benchmark dataset.  Pins the two directional claims: flutter's C6
+    median beats both C4 anchors (PG helps where gradient-only X
+    underfits), and dryer's C6 sits measurably above its C4 anchor
+    (trajectory injection costs accuracy on short well-fit data)."""
+    fl = sorted(pg_study[f"flutter_C6_ancestor_s{s}"]["rmse"]
+                for s in range(3))
+    assert fl[1] < 0.947        # ours C4 anchor; ref C4 is 1.56
+    dr = sorted(pg_study[f"dryer_C6_ancestor_s{s}"]["rmse"]
+                for s in range(3))
+    assert dr[0] > 0.15         # clearly above the 0.08-0.10 C4 anchors
+    for ds in ("gas_furnace", "actuator"):
+        for s in range(3):
+            assert pg_study[f"{ds}_C6_ancestor_s{s}"]["rmse"] < 1.0
+
+
 def test_c6_ancestor_p500_removes_drive_outlier(pg_study):
     """PARITY §2b: P=500 on the ancestor-trace side fixes the drive
     seed-3 worse-optimum chain (1.71 -> 0.55) and keeps every seed under
